@@ -1,0 +1,217 @@
+"""Discount-grid Stirling tables: the TPU replacement for per-eval rebuilds.
+
+The reference's discount sampler rebuilds the WHOLE S table for every
+log-density evaluation (samplea.c:57-60, flagged as the dominant cost in
+SURVEY.md §3.4).  On TPU we instead fill tables once for a static grid of
+discount values -- a batched fill (vmap over the grid) is embarrassingly
+parallel -- and answer queries at any ``a`` by cubic (Catmull-Rom)
+interpolation along the grid axis.  log S(n,m;.) and V(n,m;.) are analytic
+in ``a`` on (0,1), so a ~100-point grid reproduces direct fills to ~1e-6;
+``tests/test_agrid.py`` measures this.
+
+Consequences for the sampler pipeline:
+  * sample_a density evaluations become O(#data) gathers -- no fill;
+  * the Gibbs sweeps query V(n,t;a) at the chain's CURRENT a, so the
+    post-sample ``S_remake`` of the reference (demo.c:487) disappears;
+  * every query is vmappable over chains, each with its own discount.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import stirling
+
+__all__ = ["AGridTable", "make_grid"]
+
+
+def _catmull_weights(t, dtype):
+    """Catmull-Rom basis at offset t in [0,1] for nodes (-1, 0, 1, 2)."""
+    t = t.astype(dtype)
+    t2 = t * t
+    t3 = t2 * t
+    w0 = 0.5 * (-t3 + 2 * t2 - t)
+    w1 = 0.5 * (3 * t3 - 5 * t2 + 2)
+    w2 = 0.5 * (-3 * t3 + 4 * t2 + t)
+    w3 = 0.5 * (t3 - t2)
+    return w0, w1, w2, w3
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AGridTable:
+    """Stacked Stirling tables over a uniform discount grid.
+
+    srel[g, i, j] = log S(i+1, j+1; a_g) - S1(i+1; a_g)   (see stirling.py)
+    vtab[g, i, j] = V(i+1, j+1; a_g)
+    s1[g, i]      = log S^{i+1}_{1, a_g}  (f64-accurate hi+lo collapsed to
+                    table dtype: S1 enters posteriors only via n-differences
+                    where the common magnitude cancels).
+    """
+    a0: float = dataclasses.field(metadata=dict(static=True))
+    da: float = dataclasses.field(metadata=dict(static=True))
+    g_max: int = dataclasses.field(metadata=dict(static=True))
+    n_max: int = dataclasses.field(metadata=dict(static=True))
+    m_max: int = dataclasses.field(metadata=dict(static=True))
+    avec: jax.Array          # (G,)
+    s1_hi: jax.Array         # (G, N)
+    s1_lo: jax.Array         # (G, N)
+    vtab: Optional[jax.Array]   # (G, N, M)
+    srel: Optional[jax.Array]   # (G, N, M)
+
+    # -- grid locate --------------------------------------------------------
+    def _locate(self, a):
+        """Return (g0, t): base index for the 4-point stencil and offset."""
+        dt = self.s1_hi.dtype
+        pos = (jnp.asarray(a, dt) - self.a0) / self.da
+        g = jnp.clip(jnp.floor(pos).astype(jnp.int32), 1, self.g_max - 3)
+        t = pos - g.astype(dt)
+        return g, t
+
+    # -- queries (each vmappable over chains with per-chain a) -------------
+    def S(self, n, m, a):
+        """log S^n_{m,a} by cubic interpolation (S_S semantics)."""
+        n = jnp.asarray(n)
+        m = jnp.asarray(m)
+        dt = self.srel.dtype
+        i = jnp.clip(n - 1, 0, self.n_max - 1)
+        j = jnp.clip(m - 1, 0, self.m_max - 1)
+        g, t = self._locate(a)
+        w = _catmull_weights(t, dt)
+        acc = jnp.zeros(jnp.broadcast_shapes(n.shape, m.shape, jnp.shape(a)), dt)
+        for k in range(4):
+            gk = g - 1 + k
+            acc = acc + w[k] * (self.s1_hi[gk, i] + self.srel[gk, i, j]
+                                + self.s1_lo[gk, i])
+        acc = jnp.where(n == m, jnp.zeros((), dt), acc)
+        acc = jnp.where(m == 1, self.S1(n, a), acc)
+        return jnp.where((m < 1) | (n < m), -jnp.inf, acc)
+
+    def Srel(self, n, m, a):
+        """log S^n_{m,a} - log S^n_{1,a} (difference form; -inf-safe)."""
+        n = jnp.asarray(n)
+        m = jnp.asarray(m)
+        dt = self.srel.dtype
+        i = jnp.clip(n - 1, 0, self.n_max - 1)
+        j = jnp.clip(m - 1, 0, self.m_max - 1)
+        g, t = self._locate(a)
+        w = _catmull_weights(t, dt)
+        acc = jnp.zeros(jnp.broadcast_shapes(n.shape, m.shape, jnp.shape(a)), dt)
+        for k in range(4):
+            gk = g - 1 + k
+            acc = acc + w[k] * self.srel[gk, i, j]
+        acc = jnp.where(m == 1, jnp.zeros((), dt), acc)
+        acc = jnp.where(n == m,
+                        -self.S1(n, a), acc)
+        return jnp.where((m < 1) | (n < m), -jnp.inf, acc)
+
+    def S1(self, n, a):
+        n = jnp.asarray(n)
+        dt = self.s1_hi.dtype
+        i = jnp.clip(n - 1, 0, self.n_max - 1)
+        g, t = self._locate(a)
+        w = _catmull_weights(t, dt)
+        acc = jnp.zeros(jnp.broadcast_shapes(n.shape, jnp.shape(a)), dt)
+        for k in range(4):
+            gk = g - 1 + k
+            acc = acc + w[k] * (self.s1_hi[gk, i] + self.s1_lo[gk, i])
+        return jnp.where(n >= 1, acc, -jnp.inf)
+
+    def V(self, n, m, a):
+        """V^n_{m,a} interpolated in a (S_V semantics; 0 out of domain)."""
+        n = jnp.asarray(n)
+        m = jnp.asarray(m)
+        dt = self.vtab.dtype
+        i = jnp.clip(n - 1, 0, self.n_max - 1)
+        j = jnp.clip(m - 1, 0, self.m_max - 1)
+        g, t = self._locate(a)
+        w = _catmull_weights(t, dt)
+        acc = jnp.zeros(jnp.broadcast_shapes(n.shape, m.shape, jnp.shape(a)), dt)
+        for k in range(4):
+            gk = g - 1 + k
+            acc = acc + w[k] * self.vtab[gk, i, j]
+        return jnp.where((m < 2) | (n < m), jnp.zeros((), dt), acc)
+
+    def U(self, n, m, a):
+        n = jnp.asarray(n)
+        m = jnp.asarray(m)
+        dt = self.vtab.dtype
+        v = self.V(n, m, a)
+        safe = jnp.where(v > 0, v, 1.0)
+        af = jnp.asarray(a, dt)
+        gen = n.astype(dt) - m.astype(dt) * af + 1.0 / safe
+        return jnp.where(m == 1, n.astype(dt) - af,
+                         jnp.where(v > 0, gen, 0.0))
+
+    def data_curve(self, ns, ts, weights=None):
+        """sum_k w_k * log S(n_k, t_k; a_g) for every grid point g.
+
+        The precomputation that turns sample_a density evals into O(1):
+        evaluate once per Gibbs step, then any a-interpolation of the
+        result equals interpolating the sum of log-S terms (linearity).
+        Entries with n<=1 contribute 0 (samplea.c:73-79 skips n<=1).
+        Returns (G,) (or (..., G) for batched ns/ts with leading axes).
+        """
+        ns = jnp.asarray(ns)
+        ts = jnp.asarray(ts)
+        i = jnp.clip(ns - 1, 0, self.n_max - 1)
+        j = jnp.clip(ts - 1, 0, self.m_max - 1)
+        dt = self.srel.dtype
+        vals = (self.s1_hi[:, i] + self.srel[:, i, j] + self.s1_lo[:, i])
+        # identities
+        vals = jnp.where(ns == ts, jnp.zeros((), dt), vals)
+        vals = jnp.where(ts == 1, self.s1_hi[:, i] + self.s1_lo[:, i], vals)
+        mask = (ns > 1) & (ts >= 1) & (ts <= ns)
+        w = mask.astype(dt) if weights is None else weights * mask
+        out = jnp.sum(vals * w, axis=-1)       # (G, ...) summed over pairs
+        return jnp.moveaxis(out, 0, -1)        # (..., G)
+
+    def curve_at(self, curve, a):
+        """Cubic interpolation of a (..., G) curve (from data_curve) at a;
+        batched curves pair with batched a along the leading axes."""
+        g, t = self._locate(a)
+        w = _catmull_weights(t, curve.dtype)
+        if curve.ndim == 1:
+            return (w[0] * curve[g - 1] + w[1] * curve[g]
+                    + w[2] * curve[g + 1] + w[3] * curve[g + 2])
+        acc = jnp.zeros(jnp.shape(g), curve.dtype)
+        for k in range(4):
+            idx = (g - 1 + k)[..., None]
+            acc = acc + w[k] * jnp.take_along_axis(curve, idx, axis=-1)[..., 0]
+        return acc
+
+
+def make_grid(n_max: int, m_max: int, g: int = 100,
+              a_lo: float = 0.0, a_hi: float = 0.99,
+              build_s: bool = True, build_v: bool = True,
+              dtype=jnp.float32) -> AGridTable:
+    """Fill tables for a uniform discount grid (vmapped batched fill).
+
+    The default [0, 0.99] covers the sampler bounds A_MIN=0.01..A_MAX=0.98
+    (psample.h:89-90) with a full 4-point stencil inside.
+    """
+    avec = np.linspace(a_lo, a_hi, g)
+    s1 = np.stack([stirling.s1_host(float(a), n_max) for a in avec])
+    if np.dtype(dtype) == np.float64:
+        s1_hi = jnp.asarray(s1)
+        s1_lo = jnp.zeros_like(s1_hi)
+    else:
+        hi = s1.astype(np.float32)
+        s1_hi = jnp.asarray(hi)
+        s1_lo = jnp.asarray((s1 - hi.astype(np.float64)).astype(np.float32))
+
+    fill = jax.vmap(lambda a: stirling.fill_rows(
+        a, n_max, m_max, dtype=dtype, with_srel=build_s)[:2])
+    vtab, srel = fill(jnp.asarray(avec, dtype))
+    return AGridTable(
+        a0=float(a_lo), da=float(avec[1] - avec[0]), g_max=g,
+        n_max=n_max, m_max=m_max,
+        avec=jnp.asarray(avec, dtype),
+        s1_hi=s1_hi, s1_lo=s1_lo,
+        vtab=vtab if build_v else None,
+        srel=srel if build_s else None)

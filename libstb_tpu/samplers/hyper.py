@@ -1,0 +1,190 @@
+"""L3 hyperparameter posterior samplers for PYP/DP models.
+
+Reproduces the capabilities of lib/sampleb.c and lib/samplea.c, batched
+over chains:
+
+* ``sample_b`` -- concentration posterior with Gamma(shape, scale) prior
+  and the auxiliary-variable trick q_i ~ Beta(b, N_i) (sampleb.c:90-100);
+  conjugate Gamma draw at a==0 (sampleb.c:101-118; we draw the exact Gamma
+  instead of the reference's >400 Gaussian shortcut -- that was a CPU
+  speed hack), slice sampling with a Newton/digammaInv warm start
+  (sampleb.c:51-68,140-153) for a>0.
+
+* ``sample_a`` -- discount posterior (samplea.c:46-83,155-225).  The
+  reference rebuilds the full S table per density evaluation
+  (samplea.c:57-60); here the Stirling term is precomputed as a per-chain
+  curve over the discount grid (agrid.data_curve) so each evaluation is a
+  cubic interpolation -- no fills in the loop, every chain has its own
+  discount.
+
+* ``sample_a_rebuild`` -- the direct transliteration-in-semantics oracle
+  (table refilled per evaluation, exactly aterms) used to validate the
+  grid path; f64/CPU-oriented.
+
+All samplers take/return batched arrays; none mutate state.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import agrid, special, stirling
+from . import slice as slicemod
+
+__all__ = ["A_MIN", "A_MAX", "SQUEEZEA", "B_MIN", "B_MAX",
+           "sample_b", "sample_a", "sample_a_rebuild", "a_bounds"]
+
+# psample.h:54-59, 87-94
+B_MIN = 0.01
+B_MAX = 2000.0
+A_MIN = 0.01
+A_MAX = 0.98
+SQUEEZEA = 0.2
+
+
+def _conc_terms(x, T, b):
+    """sum_i [ T_i log x + lgamma(T_i + b_i/x) - lgamma(b_i/x) ]
+    (samplea.c:65-67), batched; x broadcasts against the group axis."""
+    xT = x[..., None]
+    y = b / xT
+    val = (T * jnp.log(xT) + jax.lax.lgamma(T + y) - jax.lax.lgamma(y))
+    return jnp.sum(val, axis=-1)
+
+
+def a_bounds(a0):
+    """Start clamping + SQUEEZEA move bounds (samplea.c:161-177)."""
+    mid = jnp.clip(a0, A_MIN * 0.999 + A_MAX * 0.001,
+                   A_MAX * 0.999 + A_MIN * 0.001)
+    lo = jnp.where(mid - SQUEEZEA > A_MIN, mid - SQUEEZEA, A_MIN)
+    hi = jnp.where(mid + SQUEEZEA < A_MAX, mid + SQUEEZEA, A_MAX)
+    return mid, lo, hi
+
+
+def sample_a(key, a0, grid: agrid.AGridTable, ns, ts, T, b,
+             loops: int = 1):
+    """Discount posterior step using the grid curve (samplea semantics).
+
+    Args:
+      a0: (C,) current discounts.
+      ns, ts: (C, P) or (P,) count/table pairs (flattened over groups and
+        categories; zero-padded entries are masked by n<=1).
+      T: (C, I) per-group table totals; b: (C, I) or (I,) concentrations.
+    Returns (a, ok).
+    """
+    a0 = jnp.asarray(a0)
+    T = jnp.asarray(T, a0.dtype)
+    b = jnp.broadcast_to(jnp.asarray(b, a0.dtype), T.shape)
+    curve = grid.data_curve(jnp.asarray(ns), jnp.asarray(ts))
+    if curve.ndim == 1:                    # shared data pairs across chains
+        curve = jnp.broadcast_to(curve, a0.shape + curve.shape)
+
+    def logpost(x):
+        return _conc_terms(x, T, b) + grid.curve_at(curve, x)
+
+    mid, lo, hi = a_bounds(a0)
+    return slicemod.slice_sample(logpost, key, mid, lo, hi, loops=loops)
+
+
+def sample_a_rebuild(key, a0, ns, ts, T, b, n_max: int, m_max: int,
+                     loops: int = 1, dtype=jnp.float64):
+    """Oracle discount sampler: refills the table inside every density
+    evaluation, exactly like aterms (samplea.c:46-83).  Single chain or
+    small batches; meant for f64/CPU validation of sample_a."""
+    a0 = jnp.asarray(a0, dtype)
+    ns = jnp.asarray(ns)
+    ts = jnp.asarray(ts)
+    T = jnp.asarray(T, dtype)
+    b = jnp.broadcast_to(jnp.asarray(b, dtype), T.shape)
+
+    def s_terms(x):
+        """Scalar x -> scalar: refill the table at discount x and sum the
+        log-S terms (the S_remake + S_S sum of aterms)."""
+        _, srel, _ = stirling.fill_rows(x, n_max, m_max, dtype=dtype,
+                                        with_srel=True)
+        s1 = stirling.s1_ingraph(x, n_max, dtype)
+        i = jnp.clip(ns - 1, 0, n_max - 1)
+        j = jnp.clip(ts - 1, 0, m_max - 1)
+        vals = s1[i] + srel[i, j]
+        vals = jnp.where(ns == ts, 0.0, vals)
+        vals = jnp.where(ts == 1, s1[i], vals)
+        return jnp.sum(
+            jnp.where((ns > 1) & (ts >= 1) & (ts <= ns), vals, 0.0))
+
+    def logpost(x):
+        return _conc_terms(x, T, b) + jax.vmap(s_terms)(x)
+
+    mid, lo, hi = a_bounds(jnp.atleast_1d(a0))
+    return slicemod.slice_sample(logpost, key, mid, lo, hi, loops=loops)
+
+
+def _bterms(x, Q, T, shape, a):
+    """Concentration log posterior for a>0 (sampleb.c:33-41)."""
+    safe_a = jnp.where(a > 0, a, 1.0)
+    y = (x / safe_a)[..., None]
+    val = -Q * x + (shape - 1.0) * jnp.log(x)
+    val = val + jnp.sum(
+        jax.lax.lgamma(T + y) - jax.lax.lgamma(y), axis=-1)
+    return val
+
+
+def _bmax(x, Q, T, shape, a, iters: int = 5):
+    """Newton warm start for the slice sampler (sampleb.c:51-68)."""
+    safe_a = jnp.where(a > 0, a, 1.0)
+    I = T.shape[-1]
+
+    def body(_, x):
+        val = ((shape - 1.0) * safe_a / x - Q * safe_a
+               + jnp.sum(special.digamma(T + (x / safe_a)[..., None]), axis=-1))
+        return safe_a * special.digamma_inv(val / I)
+
+    out = jax.lax.fori_loop(0, iters, body, x * 1.1)
+    return jnp.clip(out, B_MIN, B_MAX)
+
+
+def sample_b(key, b0, N, T, a, shape: float, scale: float,
+             loops: int = 1):
+    """Concentration posterior step (sampleb.c:79-159), batched.
+
+    Args:
+      b0: (C,) current values; N, T: (C, I) or (I,) group totals;
+      a: (C,) discounts (mixed a==0 / a>0 chains are handled by computing
+      both the conjugate and the slice path and selecting).
+    Returns (b, ok).
+    """
+    b0 = jnp.asarray(b0)
+    dt = b0.dtype
+    a = jnp.broadcast_to(jnp.asarray(a, dt), b0.shape)
+    N = jnp.asarray(N, dt)
+    T = jnp.asarray(T, dt)
+    if N.ndim < b0.ndim + 1:
+        N = jnp.broadcast_to(N, b0.shape + N.shape[-1:])
+    if T.ndim < b0.ndim + 1:
+        T = jnp.broadcast_to(T, b0.shape + T.shape[-1:])
+
+    kq, kg, ks = jax.random.split(key, 3)
+    # auxiliary variables (sampleb.c:90-100); N_i==0 groups contribute 0
+    q = jax.random.beta(kq, jnp.maximum(b0[..., None], 1e-12),
+                        jnp.maximum(N, 1.0))
+    logq = jnp.where(N > 0, jnp.log(q), 0.0)
+    Q = 1.0 / scale - jnp.sum(logq, axis=-1)
+
+    # a == 0: conjugate Gamma (sampleb.c:101-118)
+    Tsum = shape + jnp.sum(T, axis=-1)
+    conj = jax.random.gamma(kg, Tsum) / Q
+    conj = jnp.clip(conj, B_MIN, B_MAX)
+
+    # a > 0: warm-started slice on bterms (sampleb.c:119-153)
+    start = _bmax(jnp.clip(b0, B_MIN, B_MAX), Q, T, shape, a)
+
+    def logpost(x):
+        return _bterms(x, Q, T, shape, a)
+
+    sliced, ok = slicemod.slice_sample(
+        logpost, ks, start, jnp.full_like(b0, B_MIN),
+        jnp.full_like(b0, B_MAX), loops=loops)
+
+    out = jnp.where(a > 0, sliced, conj)
+    return out, ok | (a <= 0)

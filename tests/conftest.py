@@ -4,7 +4,9 @@ passing dtype=float32 into the functions under test.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the session env presets JAX_PLATFORMS=axon (the TPU tunnel),
+# but the unit suite must run on the 8-device virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# jax may already have been imported by the environment's sitecustomize
+# (PYTHONPATH=/root/.axon_site) with the axon TPU platform; override the
+# live config, not just the env var.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
