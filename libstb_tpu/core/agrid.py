@@ -159,6 +159,9 @@ class AGridTable:
         """
         ns = jnp.asarray(ns)
         ts = jnp.asarray(ts)
+        shape = jnp.broadcast_shapes(ns.shape, ts.shape)
+        ns = jnp.broadcast_to(ns, shape)
+        ts = jnp.broadcast_to(ts, shape)
         i = jnp.clip(ns - 1, 0, self.n_max - 1)
         j = jnp.clip(ts - 1, 0, self.m_max - 1)
         dt = self.srel.dtype

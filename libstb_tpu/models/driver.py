@@ -1,0 +1,107 @@
+"""Gibbs-run driver: the main-loop analog of test/demo.c:405-519 and
+test/check.c:715-1027, batched over chains.
+
+One jitted composite step = sweep + optional (b, a) hyper updates; the
+iteration loop runs as a lax.scan with in-graph statistics accumulation
+(burn-in masked), so a whole run is a single device program.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import agrid
+from ..samplers import hyper
+from . import pyp
+
+__all__ = ["GibbsConfig", "run_gibbs"]
+
+
+@dataclasses.dataclass(frozen=True)
+class GibbsConfig:
+    """demo.c getopt flags as a config object (SURVEY.md §5.6 tier 3)."""
+    iters: int = 200          # -C
+    burnin: int = 0           # -B (0 -> iters//2, demo.c:222-226)
+    bcycle: int = 0           # -H
+    acycle: int = 0           # -I
+    sampler: str = "TI"       # -S (TI | CT | CTW)
+    window: int = 10          # -w
+    shape: float = 1.1        # PB_shape (demo.c:73)
+    scale: float = 20.0       # PB_scale = DIM (demo.c:74)
+    b_groups: int = 1         # demo.c passes I=1 to sampleb (demo.c:454)
+
+    def resolved_burnin(self) -> int:
+        return self.burnin if self.burnin > 0 else self.iters // 2
+
+
+def run_gibbs(key, data: pyp.PYPData, grid: agrid.AGridTable,
+              chains: int, a0: float, b0: float, cfg: GibbsConfig):
+    """Run the full Gibbs chain ensemble; returns posterior-mean stats.
+
+    Statistics mirror demo.c:493-519: time-averaged t, T (post burn-in)
+    per chain, plus a/b averages when sampled; all additionally averaged
+    over the chain ensemble in the returned "*_mean" entries.
+    """
+    J, D = data.n.shape
+    t, T = pyp.init_state(data, chains)
+    dt = grid.srel.dtype
+    a = jnp.full((chains,), a0, dt)
+    b = jnp.full((chains,), b0, dt)
+    tmax = int(data.n.max()) + 1
+    burnin = cfg.resolved_burnin()
+
+    ns_flat = jnp.asarray(data.n.reshape(-1))
+    N_b = jnp.asarray(data.N[: cfg.b_groups].astype(np.float64), dt)
+    sampler = cfg.sampler.upper()
+
+    def sweep(key, t, T, a, b):
+        if sampler == "TI":
+            return pyp.ti_sweep(key, t, T, a, b, grid, data)
+        if sampler == "CT":
+            return pyp.ct_sweep(key, t, T, a, b, grid, data, tmax)
+        if sampler == "CTW":
+            return pyp.ct_sweep(key, t, T, a, b, grid, data, tmax,
+                                window=cfg.window)
+        raise ValueError(f"unknown sampler {cfg.sampler}")
+
+    def step(carry, it):
+        t, T, a, b, key = carry
+        key, ks, kb, ka = jax.random.split(key, 4)
+        t, T = sweep(ks, t, T, a, b)
+        if cfg.bcycle > 0:
+            def do_b(b):
+                out, _ = hyper.sample_b(
+                    kb, b, N_b, T[:, : cfg.b_groups].astype(dt), a,
+                    cfg.shape, cfg.scale)
+                return out
+            b = jax.lax.cond(it % cfg.bcycle == 0, do_b, lambda b: b, b)
+        if cfg.acycle > 0:
+            def do_a(a):
+                out, _ = hyper.sample_a(
+                    ka, a, grid, ns_flat, t.reshape(chains, -1),
+                    T.astype(dt), jnp.broadcast_to(b[:, None], T.shape))
+                return out
+            a = jax.lax.cond(it % cfg.acycle == 0, do_a, lambda a: a, a)
+        rec = (it >= burnin).astype(dt)
+        stats = (rec * t.astype(dt), rec * T.astype(dt), rec * a, rec * b, rec)
+        return (t, T, a, b, key), stats
+
+    carry = (t, T, a, b, key)
+    carry, (t_sum, T_sum, a_sum, b_sum, recs) = jax.lax.scan(
+        step, carry, jnp.arange(cfg.iters))
+    cnt = jnp.sum(recs)
+    tave = jnp.sum(t_sum, axis=0) / cnt          # (C, J, D)
+    Tave = jnp.sum(T_sum, axis=0) / cnt          # (C, J)
+    aave = jnp.sum(a_sum, axis=0) / cnt
+    bave = jnp.sum(b_sum, axis=0) / cnt
+    t_f, T_f, a_f, b_f, _ = carry
+    return dict(
+        tave=tave, Tave=Tave, aave=aave, bave=bave,
+        tave_mean=jnp.mean(tave, axis=0), Tave_mean=jnp.mean(Tave, axis=0),
+        aave_mean=jnp.mean(aave), bave_mean=jnp.mean(bave),
+        t=t_f, T=T_f, a=a_f, b=b_f)

@@ -1,0 +1,246 @@
+"""L4 Pitman-Yor process models: data generation and Gibbs sweeps.
+
+Reproduces the workloads of the reference test programs -- the canonical
+Gibbs demo (test/demo.c) and the five-sampler comparison suite
+(test/check.c) -- as batched, jittable kernels:
+
+* ``crp_generate`` -- CRP simulation for synthetic counts
+  (demo.c:284-311 / check.c data gen), host-side numpy like the
+  reference's setup phase.
+* ``ti_sweep``   -- table-indicator sampler (demo.c:405-434,
+  check.c:843-867): scan over data items, chains vectorised.
+* ``ct_sweep``   -- collapsed-table sampler (check.c:868-904): the
+  full conditional over t is evaluated as one masked log-categorical per
+  category (the early-stopping heuristic of the reference is unnecessary
+  when the whole range is a single vector op).
+* ``ctw_sweep``  -- windowed collapsed sampler (check.c:905-943) via a
+  window mask on the same conditional.
+
+Chains are the leading axis everywhere; each chain may carry its own
+(a, b).  Stirling queries go through an AGridTable (per-chain discount,
+no rebuilds) or a fixed-a StirlingTable.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import agrid, stirling
+
+__all__ = ["crp_generate", "init_state", "ti_sweep", "ct_sweep", "ctw_sweep",
+           "PYPData"]
+
+Table = Union[agrid.AGridTable, stirling.StirlingTable]
+
+
+class PYPData(NamedTuple):
+    """Fixed data for a J-group PYP workload (demo.c globals analog)."""
+    data_cat: np.ndarray   # (L,) item categories, concatenated groups
+    data_grp: np.ndarray   # (L,) item group index
+    first: np.ndarray      # (L,) True if item is the group-category first
+    n: np.ndarray          # (J, D) category counts
+    N: np.ndarray          # (J,) totals
+    H: np.ndarray          # (D,) base distribution
+
+
+def _vq(tab: Table, n, m, a):
+    if isinstance(tab, agrid.AGridTable):
+        return tab.V(n, m, a)
+    return tab.V(n, m)
+
+
+def _srelq(tab: Table, n, m, a):
+    if isinstance(tab, agrid.AGridTable):
+        return tab.Srel(n, m, a)
+    return tab.Srel(n, m)
+
+
+def crp_generate(seed: int, n_groups: int, dim: int, n_per_group: int,
+                 a: float, b: float, H: Optional[np.ndarray] = None) -> PYPData:
+    """CRP simulation (demo.c:284-311): sequential seating, counts only."""
+    rng = np.random.default_rng(seed)
+    if H is None:
+        H = np.full(dim, 1.0 / dim)
+    cats, grps, firsts = [], [], []
+    n = np.zeros((n_groups, dim), np.int32)
+    for j in range(n_groups):
+        t = np.zeros(dim, np.int32)
+        T = 0
+        seen = np.zeros(dim, bool)
+        for c in range(n_per_group):
+            if c == 0:
+                i = rng.choice(dim, p=H)
+                t[i] += 1
+                T += 1
+            else:
+                val = (c + b) * rng.random() - (T * a + b)
+                if val <= 0:
+                    i = rng.choice(dim, p=H)
+                    t[i] += 1
+                    T += 1
+                else:
+                    for i in range(dim):
+                        val -= n[j, i] - t[i] * a
+                        if val < 0:
+                            break
+            n[j, i] += 1
+            cats.append(i)
+            grps.append(j)
+            firsts.append(not seen[i])
+            seen[i] = True
+    return PYPData(np.asarray(cats, np.int32), np.asarray(grps, np.int32),
+                   np.asarray(firsts), n, n.sum(axis=1).astype(np.int32),
+                   np.asarray(H, np.float64))
+
+
+def from_counts(n: np.ndarray, H: Optional[np.ndarray] = None) -> PYPData:
+    """Build a PYPData from given category counts (for oracle comparisons
+    against the reference binary, which prints its n[] vector)."""
+    n = np.atleast_2d(np.asarray(n, np.int32))
+    J, D = n.shape
+    cats, grps, firsts = [], [], []
+    for j in range(J):
+        for i in range(D):
+            for c in range(n[j, i]):
+                cats.append(i); grps.append(j); firsts.append(c == 0)
+    if H is None:
+        H = np.full(D, 1.0 / D)
+    return PYPData(np.asarray(cats, np.int32), np.asarray(grps, np.int32),
+                   np.asarray(firsts), n, n.sum(axis=1).astype(np.int32),
+                   np.asarray(H, np.float64))
+
+
+def init_state(data: PYPData, chains: int):
+    """One table per occupied category (demo.c:391-403)."""
+    t0 = (data.n > 0).astype(np.int32)
+    t = jnp.broadcast_to(jnp.asarray(t0), (chains,) + t0.shape)
+    T = jnp.broadcast_to(jnp.asarray(t0.sum(axis=1)), (chains, t0.shape[0]))
+    return t, T
+
+
+@functools.partial(jax.jit, static_argnames=("skip_first", "legacy_odds"))
+def ti_sweep(key, t, T, a, b, tab: Table, data: PYPData,
+             skip_first: bool = True, legacy_odds: bool = False):
+    """Table-indicator Gibbs sweep (demo.c:405-434, check.c:843-867).
+
+    t: (C, J, D) int32; T: (C, J) int32; a, b: (C,).
+
+    Derivation of the acceptance odds: with the uniform-configuration
+    augmentation p(t, config) = p(t)/C(n-1, t-1) (the first occurrence's
+    indicator is forced to 1, hence check.c's c==f[i] guard), the per-item
+    Gibbs odds for re-adding an indicator after removal are
+
+        H_i (b + T a) V(n, t+1) * t / (n - t).
+
+    The REFERENCE uses t/(n-t+1) instead (demo.c:427, check.c:861), which
+    is measurably biased: running the reference's own check program with
+    identical data gives E[T]=10.87 for TI vs 12.06 for both CT and SA
+    (SA is the exact explicit-seating sampler).  We default to the exact
+    odds; ``legacy_odds=True`` reproduces the reference's kernel.
+    ``skip_first=False`` additionally reproduces demo.c's variant that
+    resamples first occurrences as if they were free (a second small
+    bias).
+    """
+    dt = a.dtype
+    cats = jnp.asarray(data.data_cat)
+    grps = jnp.asarray(data.data_grp)
+    firsts = jnp.asarray(data.first)
+    n = jnp.asarray(data.n)
+    H = jnp.asarray(data.H, dt)
+
+    def item(carry, inp):
+        t, T, key = carry
+        i, j, is_first = inp
+        key, k1, k2 = jax.random.split(key, 3)
+        ni = n[j, i]
+        skip = (ni <= 1) | (is_first if skip_first else False)
+        ti = t[:, j, i]
+        Tj = T[:, j]
+        u1 = jax.random.uniform(k1, ti.shape, dt)
+        nif = ni.astype(dt)
+        dec = (ti > 1) & ((nif - 1.0) * u1 < (ti - 1).astype(dt)) & ~skip
+        ti = ti - dec
+        Tj = Tj - dec
+        # acceptance odds (see docstring; demo.c:427-428 for legacy form)
+        v = _vq(tab, ni, ti + 1, a)
+        denom = (nif - ti.astype(dt) + 1.0) if legacy_odds else jnp.maximum(
+            nif - ti.astype(dt), 1.0)
+        one = (H[i] * (b + Tj.astype(dt) * a) * ti.astype(dt) / denom * v)
+        u2 = jax.random.uniform(k2, ti.shape, dt)
+        inc = (u2 < one / (one + 1.0)) & ~skip & (ti < ni)
+        ti = ti + inc
+        Tj = Tj + inc
+        t = t.at[:, j, i].set(ti)
+        T = T.at[:, j].set(Tj)
+        return (t, T, key), None
+
+    (t, T, _), _ = jax.lax.scan(item, (t, T, key), (cats, grps, firsts))
+    return t, T
+
+
+def _ct_conditional(tab, ni, ti, Tj, a, b, Hi, tmax: int, window):
+    """Masked log-weights over candidate t values (check.c:877-895).
+
+    Weight(tt) proportional to  S(n,tt) * prod_{k=1}^{tt-1} H_i (b + (T - t_i + k) a)
+    -- evaluated in log space relative to nothing (categorical is
+    shift-invariant, so the reference's division by S(n, t_i) drops out).
+    """
+    dt = a.dtype
+    tts = jnp.arange(1, tmax + 1)
+    # log prod term: cumsum over k of log(H_i (b + (T - ti + k) a)), k=1..tt-1
+    ks = jnp.arange(1, tmax + 1).astype(dt)          # k = 1..tmax
+    base = jnp.log(Hi) + jnp.log(jnp.maximum(
+        b[:, None] + (Tj - ti)[:, None].astype(dt) * a[:, None]
+        + ks[None, :] * a[:, None], 1e-300 if dt == jnp.float64 else 1e-30))
+    cum = jnp.cumsum(base, axis=-1)
+    hterm = jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum[:, :-1]], axis=-1)
+    srel = _srelq(tab, ni, tts[None, :], a[:, None])
+    lw = hterm + srel
+    ok = tts[None, :] <= ni
+    if window is not None:
+        ok = ok & (jnp.abs(tts[None, :] - ti[:, None]) <= window)
+    return jnp.where(ok, lw, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("tmax", "window"))
+def ct_sweep(key, t, T, a, b, tab: Table, data: PYPData, tmax: int,
+             window: Optional[int] = None):
+    """Collapsed-table sweep (check.c:868-904; window: check.c:905-943).
+
+    For each (group, category): resample t_i from its full conditional
+    via a Gumbel-max categorical over 1..tmax.
+    """
+    n = jnp.asarray(data.n)
+    H = jnp.asarray(data.H, a.dtype)
+    J, D = data.n.shape
+
+    def cat(carry, inp):
+        t, T, key = carry
+        j, i = inp
+        key, kg = jax.random.split(key)
+        ni = n[j, i]
+        ti = t[:, j, i]
+        Tj = T[:, j]
+        lw = _ct_conditional(tab, ni, ti, Tj, a, b, H[i], tmax, window)
+        g = jax.random.gumbel(kg, lw.shape, a.dtype)
+        tt = 1 + jnp.argmax(lw + g, axis=-1).astype(t.dtype)
+        live = ni > 0
+        tt = jnp.where(live, tt, ti)
+        T = T.at[:, j].set(Tj + tt - ti)
+        t = t.at[:, j, i].set(tt)
+        return (t, T, key), None
+
+    jj, ii = np.meshgrid(np.arange(J), np.arange(D), indexing="ij")
+    idx = (jnp.asarray(jj.ravel()), jnp.asarray(ii.ravel()))
+    (t, T, _), _ = jax.lax.scan(cat, (t, T, key), idx)
+    return t, T
+
+
+def ctw_sweep(key, t, T, a, b, tab: Table, data: PYPData, tmax: int,
+              window: int = 10):
+    """Windowed collapsed sweep (check.c:905-943, TWINDOW default 10)."""
+    return ct_sweep(key, t, T, a, b, tab, data, tmax, window=window)

@@ -164,11 +164,17 @@ def sample_b(key, b0, N, T, a, shape: float, scale: float,
     if T.ndim < b0.ndim + 1:
         T = jnp.broadcast_to(T, b0.shape + T.shape[-1:])
 
-    kq, kg, ks = jax.random.split(key, 3)
-    # auxiliary variables (sampleb.c:90-100); N_i==0 groups contribute 0
-    q = jax.random.beta(kq, jnp.maximum(b0[..., None], 1e-12),
-                        jnp.maximum(N, 1.0))
-    logq = jnp.where(N > 0, jnp.log(q), 0.0)
+    kq1, kq2, kg, ks = jax.random.split(key, 4)
+    # auxiliary variables (sampleb.c:90-100); N_i==0 groups contribute 0.
+    # q ~ Beta(b, N_i) can underflow to 0 in f32 for small b (the reference
+    # exits(1) on that, sampleb.c:96-98); we sample log q directly via
+    # log-gamma:  q = G(b)/(G(b)+G(N)) => log q = lg1 - logaddexp(lg1, lg2).
+    bshape = jnp.broadcast_shapes(b0[..., None].shape, N.shape)
+    lg1 = jax.random.loggamma(kq1, jnp.broadcast_to(
+        jnp.maximum(b0[..., None], B_MIN * 1e-3), bshape))
+    lg2 = jax.random.loggamma(kq2, jnp.broadcast_to(jnp.maximum(N, 1.0), bshape))
+    logq = lg1 - jnp.logaddexp(lg1, lg2)
+    logq = jnp.where(N > 0, logq, 0.0)
     Q = 1.0 / scale - jnp.sum(logq, axis=-1)
 
     # a == 0: conjugate Gamma (sampleb.c:101-118)
