@@ -1,0 +1,260 @@
+"""Pallas TPU kernel for the Stirling ratio-table fill.
+
+The reference fills its tables with a doubly-nested scalar loop over
+(n, m) (lib/stable.c:380-387 log recurrence, 475-482 ratio recurrence).
+The TPU kernel keeps the strict n -> n+1 dependency as a sequential grid
+walk but makes every step a full (G, M) vector op:
+
+* **M (lanes)**: all columns of a row update at once -- the recurrence
+  needs only the previous row and a one-lane shift (``pltpu.roll``);
+* **G (sublanes)**: a whole *discount grid* of tables fills
+  simultaneously (the AGridTable workload, core/agrid.py) -- G tables
+  at G different ``a`` values share every instruction, so the VPU's
+  (8, 128) tiles are fully occupied even though n is sequential.
+
+Per grid step the kernel produces a (G, R, M) slab of both outputs
+(V ratios and Srel = log S(n, m) - log S(n, 1)); the carry row lives in
+a VMEM scratch buffer that persists across the sequential TPU grid, which
+is the in-register analog of the reference's heap-resident "remake
+frontier" (stable.c:82-90).  Output DMA double-buffers against the next
+slab's compute automatically (Pallas output pipelining).
+
+The fill writes 8 bytes/cell (two f32 tables) and performs ~10 VPU ops +
+one log per cell, so for wide rows it runs near the HBM write roofline;
+``bench.py`` measures this against a copy-roofline on the same chip.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fill_grid", "available"]
+
+
+def available() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _cumsum_lanes(x, m_max: int):
+    """Cumulative sum along the lane (last) axis via log-shift adds.
+
+    Mosaic has no native cumsum; log2(M) masked roll-adds implement the
+    Hillis-Steele scan entirely in registers.
+    """
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    s = 1
+    while s < m_max:
+        shifted = pltpu.roll(x, s, x.ndim - 1)
+        x = x + jnp.where(col >= s, shifted, 0.0)
+        s *= 2
+    return x
+
+
+def _kernel(am_ref, am1_ref, v_ref, srel_ref, carry_ref, rcarry_ref,
+            sacc_ref, scomp_ref, s1_ref, *, rows: int, m_max: int,
+            with_srel: bool):
+    """One grid step: produce ``rows`` consecutive n-rows for all G tables.
+
+    am_ref:  (G, M) = m * a_g          am1_ref: (G, M) = (m-1) * a_g
+    v_ref:   (G, rows, M) output slab of V
+    srel_ref:(G, rows, M) output slab of Srel (absent if not with_srel)
+    carry_ref: (G, M) persistent scratch, last filled V row.
+    sacc_ref/scomp_ref: (G, M) Kahan pair carrying Srel across rows.
+    s1_ref: (G, 128) Kahan pair for S1 (lanes 0/1 = sum/comp) used for the
+      fresh diagonal cell srel(n, n) = -S1(n).
+
+    Srel propagates by the n-direction ratio update
+
+        srel(n+1, m) = srel(n, m) + log( U(n, m) / (n - a) ),
+        U(n, m) = (n - m a) + 1/V(n, m)            (S_U, stable.c:875-883)
+
+    which costs ONE log per cell (vs log + O(log M) lane-cumsum for the
+    within-row prefix form).  f32 increments into a growing accumulator
+    would random-walk over 10^6 rows, so the accumulator is a Kahan
+    (sum, comp) pair held in scratch -- the in-register equivalent of the
+    reference's double frontier (stable.c:14-22, 389-449).
+    """
+    i = pl.program_id(0)
+    am = am_ref[:]
+    am1 = am1_ref[:]
+    g = am.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, m_max), 1)
+    inf = jnp.inf
+    dt = carry_ref.dtype
+
+    @pl.when(i == 0)
+    def _():
+        # base row n=1: V(1,1) sentinel +inf, all m>1 zero (so the
+        # reciprocal row is [0, +inf, ...]); srel(1, .) = [0, -inf, ...];
+        # S1(1) = 0.
+        carry_ref[:] = jnp.where(col == 0, inf, 0.0).astype(dt)
+        rcarry_ref[:] = jnp.where(col == 0, 0.0, inf).astype(dt)
+        if with_srel:
+            sacc_ref[:] = jnp.where(col == 0, 0.0, -inf).astype(dt)
+            scomp_ref[:] = jnp.zeros((g, m_max), dt)
+            s1_ref[:] = jnp.zeros((g, 128), dt)
+
+    def row_body(r, _):
+        global_row = i * rows + r            # output row index; n = row+1
+        v_prev = carry_ref[:]
+        r_prev = rcarry_ref[:]               # = 1 / v_prev, carried to
+        is_base = global_row == 0            # avoid re-dividing per row
+
+        # ratio recurrence (stable.c:475-482), n_new = global_row + 1:
+        #   V(n, m) = (1 + (n-1 - m a) V(n-1, m))
+        #             / (1 / V(n-1, m-1) + (n-1 - (m-1) a))
+        nm1 = (global_row).astype(am.dtype)  # = n_new - 1
+        recip_sh = pltpu.roll(r_prev, 1, 1)
+        recip_sh = jnp.where(col == 0, 0.0, recip_sh)
+        numer = 1.0 + (nm1 - am) * v_prev
+        denom = recip_sh + (nm1 - am1)
+        v_new = numer / denom
+        r_new = denom / numer                # = 1 / v_new
+        # row 0 of the whole table is the base row itself
+        v_new = jnp.where(is_base, v_prev, v_new)
+        r_new = jnp.where(is_base, r_prev, r_new)
+        carry_ref[:] = v_new
+        rcarry_ref[:] = r_new
+        v_ref[:, r, :] = v_new
+
+        if with_srel:
+            a_g = am[:, :1]                  # a (m=1 column of m*a)
+            # S1 increment: S1(n+1) = S1(n) + log(n - a), Kahan into s1_ref
+            d1 = jnp.log(jnp.maximum(nm1 - a_g, 1e-30))
+            d1 = jnp.where(is_base, 0.0, d1)
+            s1 = s1_ref[:, 0:1]
+            c1 = s1_ref[:, 1:2]
+            y1 = d1 - c1
+            t1 = s1 + y1
+            s1_ref[:, 0:1] = t1
+            s1_ref[:, 1:2] = (t1 - s1) - y1
+
+            # srel increment for surviving cells (2 <= m <= n_old):
+            # d = log U(n, m) - log(n - a),  U = (n - m a) + 1/V(n, m)
+            u = (nm1 - am) + r_prev
+            d = jnp.log(jnp.maximum(u, 1e-30)) - d1
+            d = jnp.where(is_base, 0.0, d)
+            sacc = sacc_ref[:]
+            comp = scomp_ref[:]
+            y = d - comp
+            t = sacc + y
+            comp = (t - sacc) - y
+            sacc = t
+            # fresh diagonal cell m = n_new: srel(n, n) = -S1(n)
+            ndiag = global_row            # col index of m = n_new
+            on_diag = col == ndiag
+            sacc = jnp.where(on_diag, -t1, sacc)
+            sacc = jnp.where(col > ndiag, -inf, sacc)
+            comp = jnp.where(col >= ndiag, 0.0, comp)
+            sacc_ref[:] = sacc
+            scomp_ref[:] = comp
+            srel_ref[:, r, :] = sacc
+        return 0
+
+    jax.lax.fori_loop(0, rows, row_body, 0, unroll=False)
+
+
+def _pick_row_block(g: int, m_max: int, n_max: int, with_srel: bool,
+                    itemsize: int = 4,
+                    vmem_budget: int = 56 * 1024 * 1024) -> int:
+    """Largest power-of-two row block fitting the VMEM budget.
+
+    Accounts for: carry scratch (+3 Kahan buffers with srel), the two
+    (G, M) inputs, and double-buffered output slabs (n_outputs x 2 x
+    G x rows x M).
+    """
+    row_bytes = g * m_max * itemsize
+    scratch = (4 if with_srel else 1) * row_bytes + g * 128 * itemsize
+    inputs = 2 * row_bytes * 2          # double-buffered too
+    n_out = 2 if with_srel else 1
+    avail = vmem_budget - scratch - inputs
+    rows = avail // max(n_out * 2 * row_bytes, 1)
+    if rows < 8:
+        return 8                         # may still OOM; caller's problem
+    rows = 1 << (int(rows).bit_length() - 1)
+    return max(8, min(rows, 512, n_max))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_max", "m_max", "row_block", "with_srel", "dtype",
+                     "interpret"))
+def fill_grid(avec, n_max: int, m_max: int, row_block: int | None = None,
+              with_srel: bool = True, dtype=jnp.float32,
+              interpret: bool = False):
+    """Fill V (and Srel) tables for all discounts in ``avec`` at once.
+
+    Returns (vtab, srel) with shape (G, n_max, m_max); row i holds n=i+1,
+    column j holds m=j+1 (same layout/invariants as stirling.fill_rows,
+    which is the correctness oracle in tests/test_pallas.py).
+
+    G should be a multiple of 8 (f32 sublane tile) and m_max a multiple
+    of 128 (lane tile) for full VPU occupancy; other sizes work but pad
+    internally in Mosaic.
+    """
+    avec = jnp.asarray(avec, dtype)
+    g = avec.shape[0]
+    if row_block is None:
+        row_block = _pick_row_block(g, m_max, n_max, with_srel,
+                                    jnp.dtype(dtype).itemsize)
+    rows = min(row_block, n_max)
+    n_pad = pl.cdiv(n_max, rows) * rows
+    grid = (n_pad // rows,)
+
+    mvec = jnp.arange(1, m_max + 1, dtype=dtype)
+    am = avec[:, None] * mvec[None, :]
+    am1 = avec[:, None] * (mvec[None, :] - 1.0)
+
+    out_shape = [jax.ShapeDtypeStruct((g, n_pad, m_max), dtype)]
+    out_specs = [pl.BlockSpec((g, rows, m_max), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)]
+    scratch = [pltpu.VMEM((g, m_max), dtype), pltpu.VMEM((g, m_max), dtype)]
+    if with_srel:
+        out_shape.append(jax.ShapeDtypeStruct((g, n_pad, m_max), dtype))
+        out_specs.append(pl.BlockSpec((g, rows, m_max), lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM))
+        scratch += [pltpu.VMEM((g, m_max), dtype),
+                    pltpu.VMEM((g, m_max), dtype),
+                    pltpu.VMEM((g, 128), dtype)]
+        kernel = functools.partial(_kernel, rows=rows, m_max=m_max,
+                                   with_srel=True)
+    else:
+        def kernel(am_ref, am1_ref, v_ref, carry_ref, rcarry_ref):
+            return _kernel(am_ref, am1_ref, v_ref, None, carry_ref,
+                           rcarry_ref, None, None, None,
+                           rows=rows, m_max=m_max, with_srel=False)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, m_max), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, m_max), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs if with_srel else out_specs[0],
+        out_shape=out_shape if with_srel else out_shape[0],
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=16 * g * n_pad * m_max,
+            bytes_accessed=(2 if with_srel else 1) * 4 * g * n_pad * m_max,
+            transcendentals=(g * n_pad * m_max) if with_srel else 0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(am, am1)
+
+    if with_srel:
+        vtab, srel = outs
+    else:
+        vtab, srel = outs, None
+    if n_pad != n_max:
+        vtab = vtab[:, :n_max]
+        srel = srel[:, :n_max] if srel is not None else None
+    return vtab, srel

@@ -138,7 +138,7 @@ def _bmax(x, Q, T, shape, a, iters: int = 5):
     def body(_, x):
         val = ((shape - 1.0) * safe_a / x - Q * safe_a
                + jnp.sum(special.digamma(T + (x / safe_a)[..., None]), axis=-1))
-        return safe_a * special.digamma_inv(val / I)
+        return (safe_a * special.digamma_inv(val / I)).astype(x.dtype)
 
     out = jax.lax.fori_loop(0, iters, body, x * 1.1)
     return jnp.clip(out, B_MIN, B_MAX)

@@ -1,0 +1,68 @@
+"""Pallas fill kernel vs the lax.scan fill and the f64 oracle.
+
+Runs the kernel in interpreter mode on CPU (the real-TPU run is covered
+by bench.py and the verify flow); correctness criteria mirror
+test/precision_test.c's float-vs-double methodology.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libstb_tpu.core import stirling
+from libstb_tpu.ops import stirling_pallas as sp
+
+
+@pytest.fixture(scope="module")
+def filled():
+    avec = np.linspace(0.0, 0.9, 8)
+    N, M = 160, 48
+    vt, sr = sp.fill_grid(jnp.asarray(avec, jnp.float32), N, M,
+                          row_block=32, interpret=True)
+    return avec, N, M, np.asarray(vt), np.asarray(sr)
+
+
+def test_v_matches_f64(filled):
+    avec, N, M, vt, _ = filled
+    for gi, a in enumerate(avec):
+        v64, _, _ = stirling.fill_rows(float(a), N, M, dtype=jnp.float64)
+        v64 = np.asarray(v64)
+        fin = np.isfinite(v64)
+        np.testing.assert_allclose(vt[gi][fin], v64[fin], rtol=2e-5,
+                                   err_msg=f"a={a}")
+
+
+def test_srel_matches_f64(filled):
+    avec, N, M, _, sr = filled
+    for gi, a in enumerate(avec):
+        _, s64, _ = stirling.fill_rows(float(a), N, M, dtype=jnp.float64)
+        s64 = np.asarray(s64)
+        fin = np.isfinite(s64)
+        assert np.max(np.abs(sr[gi][fin] - s64[fin])) < 1e-4, f"a={a}"
+        # -inf pattern (m > n) must match exactly
+        np.testing.assert_array_equal(np.isneginf(sr[gi]), np.isneginf(s64))
+
+
+def test_diagonal_is_minus_s1(filled):
+    # srel(n, n) = -S1(n): the kernel's in-register Kahan S1 accumulator
+    avec, N, M, _, sr = filled
+    for gi, a in enumerate(avec):
+        s1 = stirling.s1_host(float(a), M)
+        diag = np.array([sr[gi][n - 1, n - 1] for n in range(2, M + 1)])
+        np.testing.assert_allclose(diag, -s1[1:], atol=2e-5)
+
+
+def test_row_padding_trimmed():
+    vt, sr = sp.fill_grid(jnp.asarray([0.5], jnp.float32), 50, 16,
+                          row_block=16, interpret=True)
+    assert vt.shape == (1, 50, 16) and sr.shape == (1, 50, 16)
+
+
+def test_nosrel_path():
+    vt, sr = sp.fill_grid(jnp.asarray([0.3, 0.6], jnp.float32), 64, 16,
+                          row_block=16, with_srel=False, interpret=True)
+    assert sr is None
+    v64, _, _ = stirling.fill_rows(0.3, 64, 16, dtype=jnp.float64)
+    v64 = np.asarray(v64)
+    fin = np.isfinite(v64)
+    np.testing.assert_allclose(np.asarray(vt)[0][fin], v64[fin], rtol=2e-5)
