@@ -192,11 +192,17 @@ class AGridTable:
 def make_grid(n_max: int, m_max: int, g: int = 100,
               a_lo: float = 0.0, a_hi: float = 0.99,
               build_s: bool = True, build_v: bool = True,
-              dtype=jnp.float32) -> AGridTable:
-    """Fill tables for a uniform discount grid (vmapped batched fill).
+              dtype=jnp.float32, use_pallas: Optional[bool] = None
+              ) -> AGridTable:
+    """Fill tables for a uniform discount grid.
 
     The default [0, 0.99] covers the sampler bounds A_MIN=0.01..A_MAX=0.98
     (psample.h:89-90) with a full 4-point stencil inside.
+
+    On TPU the fill runs through the grid-batched Pallas kernel
+    (ops/stirling_pallas.py, ~85% of HBM roofline); elsewhere (and for f64)
+    a vmapped lax.scan computes the identical recurrence.  ``use_pallas``
+    forces the choice (None = auto).
     """
     avec = np.linspace(a_lo, a_hi, g)
     s1 = np.stack([stirling.s1_host(float(a), n_max) for a in avec])
@@ -208,9 +214,18 @@ def make_grid(n_max: int, m_max: int, g: int = 100,
         s1_hi = jnp.asarray(hi)
         s1_lo = jnp.asarray((s1 - hi.astype(np.float64)).astype(np.float32))
 
-    fill = jax.vmap(lambda a: stirling.fill_rows(
-        a, n_max, m_max, dtype=dtype, with_srel=build_s)[:2])
-    vtab, srel = fill(jnp.asarray(avec, dtype))
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and np.dtype(dtype) == np.float32)
+    if use_pallas:
+        from ..ops import stirling_pallas
+        vtab, srel = stirling_pallas.fill_grid(
+            jnp.asarray(avec, dtype), n_max, m_max, with_srel=build_s,
+            dtype=dtype)
+    else:
+        fill = jax.vmap(lambda a: stirling.fill_rows(
+            a, n_max, m_max, dtype=dtype, with_srel=build_s)[:2])
+        vtab, srel = fill(jnp.asarray(avec, dtype))
     return AGridTable(
         a0=float(a_lo), da=float(avec[1] - avec[0]), g_max=g,
         n_max=n_max, m_max=m_max,
