@@ -34,6 +34,8 @@ class GibbsConfig:
     shape: float = 1.1        # PB_shape (demo.c:73)
     scale: float = 20.0       # PB_scale = DIM (demo.c:74)
     b_groups: int = 1         # demo.c passes I=1 to sampleb (demo.c:454)
+    ti_legacy: bool = False   # reproduce demo.c:427's t/(n-t+1) odds
+    ti_skip_first: bool = True  # False = demo.c resamples first indicators
 
     def resolved_burnin(self) -> int:
         return self.burnin if self.burnin > 0 else self.iters // 2
@@ -61,7 +63,9 @@ def run_gibbs(key, data: pyp.PYPData, grid: agrid.AGridTable,
 
     def sweep(key, t, T, a, b):
         if sampler == "TI":
-            return pyp.ti_sweep(key, t, T, a, b, grid, data)
+            return pyp.ti_sweep(key, t, T, a, b, grid, data,
+                                skip_first=cfg.ti_skip_first,
+                                legacy_odds=cfg.ti_legacy)
         if sampler == "CT":
             return pyp.ct_sweep(key, t, T, a, b, grid, data, tmax)
         if sampler == "CTW":
