@@ -28,7 +28,7 @@ def main():
     p.add_argument("-w", type=int, default=10, help="CTW window")
     p.add_argument("--chains", type=int, default=32)
     p.add_argument("--dim", type=int, default=20)
-    p.add_argument("--samplers", default="TI,CT,CTW")
+    p.add_argument("--samplers", default="TI,CT,CTW,HSA")
     args = p.parse_args()
 
     import jax

@@ -27,7 +27,7 @@ import numpy as np
 
 from . import stirling
 
-__all__ = ["AGridTable", "make_grid"]
+__all__ = ["AGridTable", "make_grid", "ensure_grid"]
 
 
 def _catmull_weights(t, dtype):
@@ -206,6 +206,12 @@ def make_grid(n_max: int, m_max: int, g: int = 100,
     """
     avec = np.linspace(a_lo, a_hi, g)
     s1 = np.stack([stirling.s1_host(float(a), n_max) for a in avec])
+    return _finish_grid(avec, s1, n_max, m_max, build_s, build_v, dtype,
+                        use_pallas)
+
+
+def _finish_grid(avec, s1, n_max, m_max, build_s, build_v, dtype,
+                 use_pallas):
     if np.dtype(dtype) == np.float64:
         s1_hi = jnp.asarray(s1)
         s1_lo = jnp.zeros_like(s1_hi)
@@ -227,9 +233,43 @@ def make_grid(n_max: int, m_max: int, g: int = 100,
             a, n_max, m_max, dtype=dtype, with_srel=build_s)[:2])
         vtab, srel = fill(jnp.asarray(avec, dtype))
     return AGridTable(
-        a0=float(a_lo), da=float(avec[1] - avec[0]), g_max=g,
+        a0=float(avec[0]), da=float(avec[1] - avec[0]), g_max=len(avec),
         n_max=n_max, m_max=m_max,
         avec=jnp.asarray(avec, dtype),
         s1_hi=s1_hi, s1_lo=s1_lo,
         vtab=vtab if build_v else None,
         srel=srel if build_s else None)
+
+
+def _grow_bucket(used: int, want: int) -> int:
+    """S_extend's >=10%-or-+50 hysteresis, rounded to jit-friendly
+    buckets (stable.c:590-630 semantics, same policy as stirling.ensure)."""
+    if want <= used:
+        return used
+    want = max(want, int(used * 1.1), used + 50)
+    k = int(np.floor(np.log2(max(want, 64))))
+    for frac in (1.0, 1.25, 1.5, 1.75, 2.0):
+        b = int(frac * 2 ** k)
+        if b >= want:
+            return b
+    return want
+
+
+def ensure_grid(grid: AGridTable, n: int, m: int,
+                use_pallas: Optional[bool] = None) -> AGridTable:
+    """Growth for grid tables (the S_extend analog, host-level): returns a
+    (possibly new) grid covering (n, m) with bucketed dimensions so jit
+    caches stay warm.  Refills the whole grid -- the batched fill is fast
+    enough that the reference's incremental L-shaped refill isn't worth
+    its complexity here."""
+    n = int(n) + 1
+    m = int(m) + 1
+    if n <= grid.n_max and m <= grid.m_max:
+        return grid
+    new_n = _grow_bucket(grid.n_max, max(n, grid.n_max))
+    new_m = min(_grow_bucket(grid.m_max, max(m, grid.m_max)), new_n)
+    avec = np.asarray(grid.avec, np.float64)
+    s1 = np.stack([stirling.s1_host(float(a), new_n) for a in avec])
+    return _finish_grid(avec, s1, new_n, new_m,
+                        grid.srel is not None, grid.vtab is not None,
+                        grid.s1_hi.dtype, use_pallas)

@@ -29,13 +29,14 @@ class GibbsConfig:
     burnin: int = 0           # -B (0 -> iters//2, demo.c:222-226)
     bcycle: int = 0           # -H
     acycle: int = 0           # -I
-    sampler: str = "TI"       # -S (TI | CT | CTW)
+    sampler: str = "TI"       # -S (TI | CT | CTW | HSA)
     window: int = 10          # -w
     shape: float = 1.1        # PB_shape (demo.c:73)
     scale: float = 20.0       # PB_scale = DIM (demo.c:74)
     b_groups: int = 1         # demo.c passes I=1 to sampleb (demo.c:454)
     ti_legacy: bool = False   # reproduce demo.c:427's t/(n-t+1) odds
     ti_skip_first: bool = True  # False = demo.c resamples first indicators
+    collect_traces: bool = False  # keep (a, b) per-iter traces + R-hat/ESS
 
     def resolved_burnin(self) -> int:
         return self.burnin if self.burnin > 0 else self.iters // 2
@@ -52,6 +53,8 @@ def run_gibbs(key, data: pyp.PYPData, grid: agrid.AGridTable,
     J, D = data.n.shape
     t, T = pyp.init_state(data, chains)
     dt = grid.srel.dtype
+    hsa = cfg.sampler.upper() == "HSA"
+    hist0 = pyp.init_hsa(data, chains)[0] if hsa else None
     a = jnp.full((chains,), a0, dt)
     b = jnp.full((chains,), b0, dt)
     tmax = int(data.n.max()) + 1
@@ -74,9 +77,16 @@ def run_gibbs(key, data: pyp.PYPData, grid: agrid.AGridTable,
         raise ValueError(f"unknown sampler {cfg.sampler}")
 
     def step(carry, it):
-        t, T, a, b, key = carry
+        if hsa:
+            (hist, T, a, b, key) = carry
+        else:
+            t, T, a, b, key = carry
         key, ks, kb, ka = jax.random.split(key, 4)
-        t, T = sweep(ks, t, T, a, b)
+        if hsa:
+            hist, T = pyp.hsa_sweep(ks, hist, T, a, b, data)
+            t = jnp.sum(hist, axis=-1).astype(jnp.int32)
+        else:
+            t, T = sweep(ks, t, T, a, b)
         if cfg.bcycle > 0:
             def do_b(b):
                 out, _ = hyper.sample_b(
@@ -92,20 +102,40 @@ def run_gibbs(key, data: pyp.PYPData, grid: agrid.AGridTable,
                 return out
             a = jax.lax.cond(it % cfg.acycle == 0, do_a, lambda a: a, a)
         rec = (it >= burnin).astype(dt)
-        stats = (rec * t.astype(dt), rec * T.astype(dt), rec * a, rec * b, rec)
+        stats = (rec * t.astype(dt), rec * T.astype(dt), rec * a, rec * b,
+                 rec)
+        if cfg.collect_traces:
+            stats = stats + (a, b)
+        if hsa:
+            return (hist, T, a, b, key), stats
         return (t, T, a, b, key), stats
 
-    carry = (t, T, a, b, key)
-    carry, (t_sum, T_sum, a_sum, b_sum, recs) = jax.lax.scan(
-        step, carry, jnp.arange(cfg.iters))
+    carry = ((hist0, T, a, b, key) if hsa else (t, T, a, b, key))
+    carry, stats = jax.lax.scan(step, carry, jnp.arange(cfg.iters))
+    if cfg.collect_traces:
+        t_sum, T_sum, a_sum, b_sum, recs, a_tr, b_tr = stats
+    else:
+        t_sum, T_sum, a_sum, b_sum, recs = stats
+        a_tr = b_tr = None
     cnt = jnp.sum(recs)
     tave = jnp.sum(t_sum, axis=0) / cnt          # (C, J, D)
     Tave = jnp.sum(T_sum, axis=0) / cnt          # (C, J)
     aave = jnp.sum(a_sum, axis=0) / cnt
     bave = jnp.sum(b_sum, axis=0) / cnt
-    t_f, T_f, a_f, b_f, _ = carry
-    return dict(
+    st_f, T_f, a_f, b_f, _ = carry
+    t_f = jnp.sum(st_f, axis=-1).astype(jnp.int32) if hsa else st_f
+    out = dict(
         tave=tave, Tave=Tave, aave=aave, bave=bave,
         tave_mean=jnp.mean(tave, axis=0), Tave_mean=jnp.mean(Tave, axis=0),
         aave_mean=jnp.mean(aave), bave_mean=jnp.mean(bave),
-        t=t_f, T=T_f, a=a_f, b=b_f)
+        t=t_f, T=T_f, a=a_f, b=b_f,
+        hist=st_f if hsa else None)
+    if cfg.collect_traces:
+        from ..parallel import mesh as pmesh
+        kept_a = a_tr[burnin:]
+        kept_b = b_tr[burnin:]
+        out.update(
+            a_trace=a_tr, b_trace=b_tr,
+            a_rhat=pmesh.rhat(kept_a), b_rhat=pmesh.rhat(kept_b),
+            a_ess=pmesh.ess(kept_a), b_ess=pmesh.ess(kept_b))
+    return out

@@ -31,8 +31,8 @@ import numpy as np
 
 from ..core import agrid, stirling
 
-__all__ = ["crp_generate", "init_state", "ti_sweep", "ct_sweep", "ctw_sweep",
-           "PYPData"]
+__all__ = ["crp_generate", "init_state", "init_hsa", "ti_sweep", "ct_sweep",
+           "ctw_sweep", "hsa_sweep", "PYPData"]
 
 Table = Union[agrid.AGridTable, stirling.StirlingTable]
 
@@ -180,6 +180,93 @@ def ti_sweep(key, t, T, a, b, tab: Table, data: PYPData,
 
     (t, T, _), _ = jax.lax.scan(item, (t, T, key), (cats, grps, firsts))
     return t, T
+
+
+def init_hsa(data: PYPData, chains: int, smax: Optional[int] = None):
+    """Histogram seating state: one table of size n per occupied category
+    (matching init_state's one-table init).  Returns (hist, T):
+    hist[c, j, i, s] = number of tables of size s serving category i in
+    group j; size axis is 0..smax."""
+    if smax is None:
+        smax = int(data.n.max())
+    J, D = data.n.shape
+    h0 = np.zeros((J, D, smax + 1), np.int32)
+    for j in range(J):
+        for i in range(D):
+            if data.n[j, i] > 0:
+                h0[j, i, data.n[j, i]] = 1
+    hist = jnp.broadcast_to(jnp.asarray(h0), (chains,) + h0.shape)
+    T = jnp.broadcast_to(jnp.asarray((data.n > 0).sum(axis=1), jnp.int32),
+                         (chains, J))
+    return hist, T
+
+
+@functools.partial(jax.jit, static_argnames=())
+def hsa_sweep(key, hist, T, a, b, data: PYPData):
+    """Histogrammed seating-arrangement Gibbs sweep (check.c's SA/HSA
+    samplers, check.c:716-842).
+
+    The SA sampler tracks every table's occupancy explicitly; HSA keeps
+    only the histogram of table sizes per (group, category) -- an exact
+    collapse, since the seating posterior depends on sizes alone.  Per
+    item: unseat one uniformly-chosen customer of that category (a table
+    of size s is chosen with prob ∝ s h_s), then reseat at an existing
+    table (∝ (s - a) h_s) or a new one (∝ (b + T a) H_i).
+
+    hist: (C, J, D, S+1) int32; T: (C, J); a, b: (C,).
+    Returns (hist, T).  Table counts derive as t = hist.sum(-1).
+    """
+    dt = a.dtype
+    cats = jnp.asarray(data.data_cat)
+    grps = jnp.asarray(data.data_grp)
+    n = jnp.asarray(data.n)
+    H = jnp.asarray(data.H, dt)
+    S = hist.shape[-1] - 1
+    svec = jnp.arange(S + 1)                      # sizes 0..S
+    sf = svec.astype(dt)
+
+    def item(carry, inp):
+        hist, T, key = carry
+        i, j = inp
+        key, k1, k2 = jax.random.split(key, 3)
+        h = hist[:, j, i, :]                      # (C, S+1)
+        ni = n[j, i]
+        live = ni > 0
+        # -- unseat: P(table size s) ∝ s h_s ------------------------------
+        lw = jnp.log(jnp.maximum(sf[None] * h.astype(dt), 0.0))
+        lw = jnp.where((svec[None] >= 1) & (h > 0), lw, -jnp.inf)
+        g1 = jax.random.gumbel(k1, lw.shape, dt)
+        s_rm = jnp.argmax(lw + g1, axis=-1)       # (C,)
+        oh_rm = jax.nn.one_hot(s_rm, S + 1, dtype=h.dtype)
+        oh_rm1 = jax.nn.one_hot(jnp.maximum(s_rm - 1, 0), S + 1,
+                                dtype=h.dtype) * (s_rm > 1)[:, None]
+        h = h - oh_rm + oh_rm1                    # size-1 table vanishes
+        Tj = T[:, j] - (s_rm == 1)
+        # -- reseat: existing ∝ (s - a) h_s, new ∝ (b + T a) H_i ----------
+        lw2 = jnp.log(jnp.maximum(
+            (sf[None] - a[:, None]) * h.astype(dt), 0.0))
+        lw2 = jnp.where((svec[None] >= 1) & (h > 0), lw2, -jnp.inf)
+        lnew = jnp.log(jnp.maximum(
+            (b + Tj.astype(dt) * a) * H[i], 1e-30))[:, None]
+        lw2 = jnp.concatenate([lw2, lnew], axis=-1)
+        g2 = jax.random.gumbel(k2, lw2.shape, dt)
+        pick = jnp.argmax(lw2 + g2, axis=-1)      # S+1 == "new table"
+        is_new = pick == S + 1
+        s_join = jnp.where(is_new, 0, pick)
+        oh_join = jax.nn.one_hot(s_join, S + 1, dtype=h.dtype) * (
+            ~is_new)[:, None]
+        oh_joinp = jax.nn.one_hot(jnp.minimum(s_join + 1, S), S + 1,
+                                  dtype=h.dtype) * (~is_new)[:, None]
+        oh_new = jax.nn.one_hot(1, S + 1, dtype=h.dtype)[None] * (
+            is_new)[:, None]
+        h = h - oh_join + oh_joinp + oh_new
+        Tj = Tj + is_new
+        hist = jnp.where(live, hist.at[:, j, i, :].set(h), hist)
+        T = jnp.where(live, T.at[:, j].set(Tj), T)
+        return (hist, T, key), None
+
+    (hist, T, _), _ = jax.lax.scan(item, (hist, T, key), (cats, grps))
+    return hist, T
 
 
 def _ct_conditional(tab, ni, ti, Tj, a, b, Hi, tmax: int, window):
