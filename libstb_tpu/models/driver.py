@@ -49,19 +49,31 @@ def run_gibbs(key, data: pyp.PYPData, grid: agrid.AGridTable,
     Statistics mirror demo.c:493-519: time-averaged t, T (post burn-in)
     per chain, plus a/b averages when sampled; all additionally averaged
     over the chain ensemble in the returned "*_mean" entries.
+
+    The whole run is one cached jit program: repeated calls with the same
+    (cfg, chains, data shapes) reuse the compilation -- the warm-start
+    behaviour check.c gets from being one C binary.
     """
-    J, D = data.n.shape
-    t, T = pyp.init_state(data, chains)
     dt = grid.srel.dtype
+    t, T = pyp.init_state(data, chains)
     hsa = cfg.sampler.upper() == "HSA"
     hist0 = pyp.init_hsa(data, chains)[0] if hsa else None
     a = jnp.full((chains,), a0, dt)
     b = jnp.full((chains,), b0, dt)
     tmax = int(data.n.max()) + 1
-    burnin = cfg.resolved_burnin()
+    return _run_gibbs_jit(key, data, grid, t, T, hist0, a, b,
+                          chains=chains, cfg=cfg, tmax=tmax,
+                          burnin=cfg.resolved_burnin())
 
+
+@functools.partial(jax.jit, static_argnames=("chains", "cfg", "tmax",
+                                             "burnin"))
+def _run_gibbs_jit(key, data, grid, t, T, hist0, a, b, *,
+                   chains: int, cfg: GibbsConfig, tmax: int, burnin: int):
+    dt = grid.srel.dtype
+    hsa = cfg.sampler.upper() == "HSA"
     ns_flat = jnp.asarray(data.n.reshape(-1))
-    N_b = jnp.asarray(data.N[: cfg.b_groups].astype(np.float64), dt)
+    N_b = jnp.asarray(data.N[: cfg.b_groups], dt)
     sampler = cfg.sampler.upper()
 
     def sweep(key, t, T, a, b):
@@ -92,14 +104,14 @@ def run_gibbs(key, data: pyp.PYPData, grid: agrid.AGridTable,
                 out, _ = hyper.sample_b(
                     kb, b, N_b, T[:, : cfg.b_groups].astype(dt), a,
                     cfg.shape, cfg.scale)
-                return out
+                return out.astype(b.dtype)
             b = jax.lax.cond(it % cfg.bcycle == 0, do_b, lambda b: b, b)
         if cfg.acycle > 0:
             def do_a(a):
                 out, _ = hyper.sample_a(
                     ka, a, grid, ns_flat, t.reshape(chains, -1),
                     T.astype(dt), jnp.broadcast_to(b[:, None], T.shape))
-                return out
+                return out.astype(a.dtype)
             a = jax.lax.cond(it % cfg.acycle == 0, do_a, lambda a: a, a)
         rec = (it >= burnin).astype(dt)
         stats = (rec * t.astype(dt), rec * T.astype(dt), rec * a, rec * b,

@@ -275,19 +275,27 @@ def _ct_conditional(tab, ni, ti, Tj, a, b, Hi, tmax: int, window):
     Weight(tt) proportional to  S(n,tt) * prod_{k=1}^{tt-1} H_i (b + (T - t_i + k) a)
     -- evaluated in log space relative to nothing (categorical is
     shift-invariant, so the reference's division by S(n, t_i) drops out).
+
+    ni and Hi may be scalars (shared data) or (C,) per-chain values (the
+    hierarchical case, where counts and base probabilities at one level
+    are state of the level below).
     """
     dt = a.dtype
     tts = jnp.arange(1, tmax + 1)
+    ni_c = jnp.asarray(ni)
+    ni_col = ni_c[:, None] if ni_c.ndim == 1 else ni_c
+    hi_c = jnp.asarray(Hi, dt)
+    hi_col = hi_c[:, None] if hi_c.ndim == 1 else hi_c
     # log prod term: cumsum over k of log(H_i (b + (T - ti + k) a)), k=1..tt-1
     ks = jnp.arange(1, tmax + 1).astype(dt)          # k = 1..tmax
-    base = jnp.log(Hi) + jnp.log(jnp.maximum(
+    base = jnp.log(jnp.maximum(hi_col, 1e-30)) + jnp.log(jnp.maximum(
         b[:, None] + (Tj - ti)[:, None].astype(dt) * a[:, None]
         + ks[None, :] * a[:, None], 1e-300 if dt == jnp.float64 else 1e-30))
     cum = jnp.cumsum(base, axis=-1)
     hterm = jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum[:, :-1]], axis=-1)
-    srel = _srelq(tab, ni, tts[None, :], a[:, None])
+    srel = _srelq(tab, ni_col, tts[None, :], a[:, None])
     lw = hterm + srel
-    ok = tts[None, :] <= ni
+    ok = tts[None, :] <= ni_col
     if window is not None:
         ok = ok & (jnp.abs(tts[None, :] - ti[:, None]) <= window)
     return jnp.where(ok, lw, -jnp.inf)
@@ -295,11 +303,16 @@ def _ct_conditional(tab, ni, ti, Tj, a, b, Hi, tmax: int, window):
 
 @functools.partial(jax.jit, static_argnames=("tmax", "window"))
 def ct_sweep(key, t, T, a, b, tab: Table, data: PYPData, tmax: int,
-             window: Optional[int] = None):
+             window: Optional[int] = None, n_arr=None, H_arr=None):
     """Collapsed-table sweep (check.c:868-904; window: check.c:905-943).
 
     For each (group, category): resample t_i from its full conditional
     via a Gumbel-max categorical over 1..tmax.
+
+    ``n_arr`` (C, J, D) / ``H_arr`` (C, D) override the fixed data counts
+    and base distribution with per-chain values -- the hierarchical-PYP
+    case where this level's n are the level below's table counts and the
+    base is its posterior predictive.
     """
     n = jnp.asarray(data.n)
     H = jnp.asarray(data.H, a.dtype)
@@ -309,15 +322,17 @@ def ct_sweep(key, t, T, a, b, tab: Table, data: PYPData, tmax: int,
         t, T, key = carry
         j, i = inp
         key, kg = jax.random.split(key)
-        ni = n[j, i]
+        ni = n[j, i] if n_arr is None else n_arr[:, j, i]
+        Hi = H[i] if H_arr is None else H_arr[:, i]
         ti = t[:, j, i]
         Tj = T[:, j]
-        lw = _ct_conditional(tab, ni, ti, Tj, a, b, H[i], tmax, window)
+        ti = jnp.minimum(ti, jnp.asarray(ni, ti.dtype))  # dynamic-n guard
+        lw = _ct_conditional(tab, ni, ti, Tj, a, b, Hi, tmax, window)
         g = jax.random.gumbel(kg, lw.shape, a.dtype)
         tt = 1 + jnp.argmax(lw + g, axis=-1).astype(t.dtype)
-        live = ni > 0
-        tt = jnp.where(live, tt, ti)
-        T = T.at[:, j].set(Tj + tt - ti)
+        live = jnp.asarray(ni) > 0
+        tt = jnp.where(live, tt, jnp.zeros_like(ti))
+        T = T.at[:, j].set(Tj + tt - t[:, j, i])
         t = t.at[:, j, i].set(tt)
         return (t, T, key), None
 
