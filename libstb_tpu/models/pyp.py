@@ -313,32 +313,42 @@ def ct_sweep(key, t, T, a, b, tab: Table, data: PYPData, tmax: int,
     and base distribution with per-chain values -- the hierarchical-PYP
     case where this level's n are the level below's table counts and the
     base is its posterior predictive.
+
+    Groups are independent restaurants given (a, b), so the sweep scans
+    only the D categories and resamples all (chain, group) pairs of each
+    category simultaneously -- J-fold more parallel work per sequential
+    step than the reference's doubly-nested loop (check.c:869-875).
     """
     n = jnp.asarray(data.n)
     H = jnp.asarray(data.H, a.dtype)
     J, D = data.n.shape
+    C = t.shape[0]
+    a_f = jnp.broadcast_to(a[:, None], (C, J)).reshape(-1)
+    b_f = jnp.broadcast_to(b[:, None], (C, J)).reshape(-1)
 
-    def cat(carry, inp):
+    def cat(carry, i):
         t, T, key = carry
-        j, i = inp
         key, kg = jax.random.split(key)
-        ni = n[j, i] if n_arr is None else n_arr[:, j, i]
-        Hi = H[i] if H_arr is None else H_arr[:, i]
-        ti = t[:, j, i]
-        Tj = T[:, j]
-        ti = jnp.minimum(ti, jnp.asarray(ni, ti.dtype))  # dynamic-n guard
-        lw = _ct_conditional(tab, ni, ti, Tj, a, b, Hi, tmax, window)
+        if n_arr is None:
+            ni = jnp.broadcast_to(n[None, :, i], (C, J)).reshape(-1)
+        else:
+            ni = n_arr[:, :, i].reshape(-1)
+        if H_arr is None:
+            Hi = jnp.broadcast_to(H[i], (C * J,))
+        else:
+            Hi = jnp.broadcast_to(H_arr[:, i, None], (C, J)).reshape(-1)
+        ti = t[:, :, i].reshape(-1)
+        Tj = T.reshape(-1)
+        ti = jnp.minimum(ti, ni.astype(ti.dtype))      # dynamic-n guard
+        lw = _ct_conditional(tab, ni, ti, Tj, a_f, b_f, Hi, tmax, window)
         g = jax.random.gumbel(kg, lw.shape, a.dtype)
         tt = 1 + jnp.argmax(lw + g, axis=-1).astype(t.dtype)
-        live = jnp.asarray(ni) > 0
-        tt = jnp.where(live, tt, jnp.zeros_like(ti))
-        T = T.at[:, j].set(Tj + tt - t[:, j, i])
-        t = t.at[:, j, i].set(tt)
+        tt = jnp.where(ni > 0, tt, jnp.zeros_like(ti))
+        T = (Tj + tt - t[:, :, i].reshape(-1)).reshape(C, J)
+        t = t.at[:, :, i].set(tt.reshape(C, J))
         return (t, T, key), None
 
-    jj, ii = np.meshgrid(np.arange(J), np.arange(D), indexing="ij")
-    idx = (jnp.asarray(jj.ravel()), jnp.asarray(ii.ravel()))
-    (t, T, _), _ = jax.lax.scan(cat, (t, T, key), idx)
+    (t, T, _), _ = jax.lax.scan(cat, (t, T, key), jnp.arange(D))
     return t, T
 
 
