@@ -93,7 +93,7 @@ def fill_throughput(oh: float, g: int = 64, n: int = 1 << 14,
     return cells * 8 / dt, cells / dt
 
 
-def sampler_throughput(oh: float, chains: int = 8192, iters: int = 32):
+def sampler_throughput(oh: float, chains: int = 4096, iters: int = 32):
     """Joint (a,b) posterior samples/s on the demo workload."""
     from libstb_tpu.core import agrid
     from libstb_tpu.models import pyp

@@ -156,9 +156,17 @@ class AGridTable:
         result equals interpolating the sum of log-S terms (linearity).
         Entries with n<=1 contribute 0 (samplea.c:73-79 skips n<=1).
         Returns (G,) (or (..., G) for batched ns/ts with leading axes).
+
+        When the pair counts ``ns`` are shared across chains (the usual
+        Gibbs case: data is fixed, only t varies per chain) the reduction
+        runs as a one-hot matmul on the MXU -- (C, P*M) @ (P*M, G) --
+        instead of G*C*P scalar gathers, which is the throughput-limiting
+        step of sample_a at large chain counts.
         """
         ns = jnp.asarray(ns)
         ts = jnp.asarray(ts)
+        if ts.ndim >= 2 and ns.ndim == 1 and self.m_max <= 512:
+            return self._data_curve_mm(ns, ts, weights)
         shape = jnp.broadcast_shapes(ns.shape, ts.shape)
         ns = jnp.broadcast_to(ns, shape)
         ts = jnp.broadcast_to(ts, shape)
@@ -173,6 +181,30 @@ class AGridTable:
         w = mask.astype(dt) if weights is None else weights * mask
         out = jnp.sum(vals * w, axis=-1)       # (G, ...) summed over pairs
         return jnp.moveaxis(out, 0, -1)        # (..., G)
+
+    def _data_curve_mm(self, ns, ts, weights=None):
+        """MXU route of data_curve (shared ns): see data_curve docstring.
+
+        rows[g, p, m] = S1(n_p) + Srel(n_p, m+1) carries the m==1 and
+        n==t identities for free (Srel(n, 1) = 0; Srel(n, n) = -S1(n)),
+        so the one-hot contraction needs no special cases beyond the
+        n<=1 mask.
+        """
+        dt = self.srel.dtype
+        i = jnp.clip(ns - 1, 0, self.n_max - 1)
+        rows = (self.s1_hi[:, i, None] + self.srel[:, i, :]
+                + self.s1_lo[:, i, None])              # (G, P, M)
+        rows = jnp.where(jnp.isfinite(rows), rows, 0.0)
+        mask = (ns[None] > 1) & (ts >= 1) & (ts <= ns[None])
+        w = mask.astype(dt) if weights is None else weights * mask
+        j = jnp.clip(ts - 1, 0, self.m_max - 1)
+        oh = jax.nn.one_hot(j, self.m_max, dtype=dt) * w[..., None]
+        G = rows.shape[0]
+        lhs = oh.reshape(ts.shape[:-1] + (-1,))        # (..., P*M)
+        rhs = jnp.moveaxis(rows, 0, -1).reshape(-1, G)  # (P*M, G)
+        return jax.lax.dot_general(
+            lhs, rhs, (((lhs.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=dt)
 
     def curve_at(self, curve, a):
         """Cubic interpolation of a (..., G) curve (from data_curve) at a;
