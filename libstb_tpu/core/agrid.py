@@ -224,8 +224,8 @@ class AGridTable:
 def make_grid(n_max: int, m_max: int, g: int = 100,
               a_lo: float = 0.0, a_hi: float = 0.99,
               build_s: bool = True, build_v: bool = True,
-              dtype=jnp.float32, use_pallas: Optional[bool] = None
-              ) -> AGridTable:
+              dtype=jnp.float32, use_pallas: Optional[bool] = None,
+              mesh=None) -> AGridTable:
     """Fill tables for a uniform discount grid.
 
     The default [0, 0.99] covers the sampler bounds A_MIN=0.01..A_MAX=0.98
@@ -235,11 +235,80 @@ def make_grid(n_max: int, m_max: int, g: int = 100,
     (ops/stirling_pallas.py, ~85% of HBM roofline); elsewhere (and for f64)
     a vmapped lax.scan computes the identical recurrence.  ``use_pallas``
     forces the choice (None = auto).
+
+    ``mesh``: a jax.sharding.Mesh -- the grid axis shards over the mesh's
+    first axis and each device fills only its own discounts concurrently
+    (the distributed-fill capability of SURVEY.md §5.8; the resulting
+    tables stay G-sharded in HBM, and queries' 4-point stencils resolve
+    locally because da * stencil << shard width).  ``g`` must divide by
+    the mesh axis size.
     """
     avec = np.linspace(a_lo, a_hi, g)
     s1 = np.stack([stirling.s1_host(float(a), n_max) for a in avec])
-    return _finish_grid(avec, s1, n_max, m_max, build_s, build_v, dtype,
-                        use_pallas)
+    if mesh is None:
+        return _finish_grid(avec, s1, n_max, m_max, build_s, build_v,
+                            dtype, use_pallas)
+    return _make_grid_sharded(avec, s1, n_max, m_max, build_s, build_v,
+                              dtype, use_pallas, mesh)
+
+
+def _make_grid_sharded(avec, s1, n_max, m_max, build_s, build_v, dtype,
+                       use_pallas, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axis = mesh.axis_names[0]
+    nd = mesh.shape[axis]
+    g = len(avec)
+    if g % nd:
+        raise ValueError(f"grid size {g} not divisible by mesh axis {nd}")
+    gshard = NamedSharding(mesh, P(axis))
+
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and np.dtype(dtype) == np.float32)
+
+    def fill_shard(a_shard):
+        # runs per device on its local discounts
+        if use_pallas:
+            from ..ops import stirling_pallas
+            v, s = stirling_pallas.fill_grid(
+                a_shard, n_max, m_max, with_srel=build_s, dtype=dtype)
+        else:
+            v, s = jax.vmap(lambda ai: stirling.fill_rows(
+                ai, n_max, m_max, dtype=dtype, with_srel=build_s)[:2])(
+                    a_shard)
+        return (v, s) if build_s else (v,)
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:                       # older jax
+        from jax.experimental.shard_map import shard_map
+    a_dev = jax.device_put(jnp.asarray(avec, dtype), gshard)
+    out_specs = (P(axis), P(axis)) if build_s else (P(axis),)
+    try:        # disable varying-axes strictness: the per-shard fill's
+        sm = shard_map(fill_shard, mesh=mesh, in_specs=P(axis),
+                       out_specs=out_specs, check_vma=False)
+    except TypeError:  # older jax spells it check_rep
+        sm = shard_map(fill_shard, mesh=mesh, in_specs=P(axis),
+                       out_specs=out_specs, check_rep=False)
+    shard_fill = jax.jit(sm)
+    outs = shard_fill(a_dev)
+    vtab = outs[0]
+    srel = outs[1] if build_s else None
+    if np.dtype(dtype) == np.float64:
+        s1_hi = jax.device_put(jnp.asarray(s1), gshard)
+        s1_lo = jnp.zeros_like(s1_hi)
+    else:
+        hi = s1.astype(np.float32)
+        s1_hi = jax.device_put(jnp.asarray(hi), gshard)
+        s1_lo = jax.device_put(
+            jnp.asarray((s1 - hi.astype(np.float64)).astype(np.float32)),
+            gshard)
+    return AGridTable(
+        a0=float(avec[0]), da=float(avec[1] - avec[0]), g_max=g,
+        n_max=n_max, m_max=m_max, avec=a_dev,
+        s1_hi=s1_hi, s1_lo=s1_lo,
+        vtab=vtab if build_v else None,
+        srel=srel if build_s else None)
 
 
 def _finish_grid(avec, s1, n_max, m_max, build_s, build_v, dtype,

@@ -1,0 +1,3 @@
+from . import driver, hpyp, pyp
+
+__all__ = ["driver", "hpyp", "pyp"]

@@ -1,0 +1,3 @@
+from . import distributed, mesh
+
+__all__ = ["distributed", "mesh"]

@@ -1,0 +1,3 @@
+from . import ars, hyper, slice
+
+__all__ = ["ars", "hyper", "slice"]
