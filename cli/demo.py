@@ -32,7 +32,8 @@ def main():
     p.add_argument("--chains", type=int, default=64)
     p.add_argument("--groups", type=int, default=1)
     p.add_argument("--dim", type=int, default=20, help="base dimension")
-    p.add_argument("--sampler", default="TI", choices=["TI", "CT", "CTW"])
+    p.add_argument("--sampler", default="TI",
+                   choices=["TI", "CT", "CTW", "HSA"])
     args = p.parse_args()
 
     import jax

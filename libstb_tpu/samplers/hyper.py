@@ -32,7 +32,16 @@ import jax
 import jax.numpy as jnp
 
 from ..core import agrid, special, stirling
+from . import ars as arsmod
 from . import slice as slicemod
+
+
+def _mcmc_1d(logpost, key, x0, lo, hi, loops: int, kernel: str):
+    """Dispatch the 1-D kernel: "slice" (sslice.c route, the TPU default)
+    or "ars" (PSAMPLE_ARS route, psample.h:31-37)."""
+    if kernel == "ars":
+        return arsmod.ars_sample(logpost, key, lo, hi, x_prev=x0)
+    return slicemod.slice_sample(logpost, key, x0, lo, hi, loops=loops)
 
 __all__ = ["A_MIN", "A_MAX", "SQUEEZEA", "B_MIN", "B_MAX",
            "sample_b", "sample_a", "sample_a_rebuild", "sample_a_m",
@@ -65,7 +74,7 @@ def a_bounds(a0):
 
 
 def sample_a(key, a0, grid: agrid.AGridTable, ns, ts, T, b,
-             loops: int = 1):
+             loops: int = 1, kernel: str = "slice"):
     """Discount posterior step using the grid curve (samplea semantics).
 
     Args:
@@ -86,7 +95,7 @@ def sample_a(key, a0, grid: agrid.AGridTable, ns, ts, T, b,
         return _conc_terms(x, T, b) + grid.curve_at(curve, x)
 
     mid, lo, hi = a_bounds(a0)
-    return slicemod.slice_sample(logpost, key, mid, lo, hi, loops=loops)
+    return _mcmc_1d(logpost, key, mid, lo, hi, loops, kernel)
 
 
 def sample_a_rebuild(key, a0, ns, ts, T, b, n_max: int, m_max: int,
@@ -268,7 +277,7 @@ def _bmax(x, Q, T, shape, a, iters: int = 5):
 
 
 def sample_b(key, b0, N, T, a, shape: float, scale: float,
-             loops: int = 1):
+             loops: int = 1, kernel: str = "slice"):
     """Concentration posterior step (sampleb.c:79-159), batched.
 
     Args:
@@ -311,9 +320,16 @@ def sample_b(key, b0, N, T, a, shape: float, scale: float,
     def logpost(x):
         return _bterms(x, Q, T, shape, a)
 
-    sliced, ok = slicemod.slice_sample(
-        logpost, ks, start, jnp.full_like(b0, B_MIN),
-        jnp.full_like(b0, B_MAX), loops=loops)
+    # ARS over the full [B_MIN, B_MAX] range wastes envelope points on a
+    # 2000-wide domain; bound it around the Newton mode like the
+    # reference's ARS setup does via its initial points (sampleb.c:125-131)
+    if kernel == "ars":
+        lo = jnp.maximum(start * 0.05, B_MIN)
+        hi = jnp.minimum(start * 20.0 + 1.0, B_MAX)
+    else:
+        lo = jnp.full_like(b0, B_MIN)
+        hi = jnp.full_like(b0, B_MAX)
+    sliced, ok = _mcmc_1d(logpost, ks, start, lo, hi, loops, kernel)
 
     out = jnp.where(a > 0, sliced, conj)
     return out, ok | (a <= 0)

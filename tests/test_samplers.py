@@ -134,3 +134,58 @@ def test_sample_a_respects_squeeze(small_grid):
     a, ok = hyper.sample_a(jax.random.key(6), a0, small_grid, ns, ts,
                            T[None, :].repeat(C, 0), jnp.array([2.0]))
     assert bool(jnp.all(jnp.abs(a - 0.5) <= hyper.SQUEEZEA + 1e-9))
+
+
+def test_sample_b_ars_matches_slice():
+    """PSAMPLE_ARS route vs the slice route: same posterior
+    (the reference's compile-time switch, psample.h:31-37)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from libstb_tpu.samplers import hyper
+
+    C = 2048
+    N = jnp.asarray([200.0, 150.0])
+    T = jnp.asarray([40.0, 35.0])
+    a = jnp.full((C,), 0.5)
+    outs = {}
+    for kernel in ("slice", "ars"):
+        b = jnp.full((C,), 5.0)
+        key = jax.random.key(3 if kernel == "ars" else 4)
+        for _ in range(8):
+            key, k = jax.random.split(key)
+            b, ok = hyper.sample_b(k, b, N, T, a, 1.1, 20.0, kernel=kernel)
+        outs[kernel] = np.asarray(b)
+        assert np.asarray(ok).all()
+    se = np.hypot(outs["slice"].std() / np.sqrt(C),
+                  outs["ars"].std() / np.sqrt(C))
+    assert abs(outs["slice"].mean() - outs["ars"].mean()) < 4 * se + 0.02
+
+
+def test_sample_a_ars_matches_slice():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from libstb_tpu.core import agrid
+    from libstb_tpu.samplers import hyper
+
+    rng = np.random.default_rng(0)
+    C, P = 1024, 10
+    ns = rng.integers(2, 28, P).astype(np.int32)
+    ts = np.maximum(1, (ns * 0.4).astype(np.int32))
+    T = np.full((C, 1), float(ts.sum()))
+    b = np.full((C, 1), 5.0)
+    grid = agrid.make_grid(32, 12, g=48, dtype=jnp.float64)
+    outs = {}
+    for kernel in ("slice", "ars"):
+        a = jnp.full((C,), 0.5, jnp.float64)
+        key = jax.random.key(7 if kernel == "ars" else 8)
+        for _ in range(8):
+            key, k = jax.random.split(key)
+            a, ok = hyper.sample_a(k, a, grid, jnp.asarray(ns),
+                                   jnp.asarray(ts), jnp.asarray(T),
+                                   jnp.asarray(b), kernel=kernel)
+        outs[kernel] = np.asarray(a)
+    se = np.hypot(outs["slice"].std() / np.sqrt(C),
+                  outs["ars"].std() / np.sqrt(C))
+    assert abs(outs["slice"].mean() - outs["ars"].mean()) < 4 * se + 0.005
