@@ -93,6 +93,32 @@ def fill_throughput(oh: float, g: int = 64, n: int = 1 << 14,
     return cells * 8 / dt, cells / dt
 
 
+def single_table_throughput(oh: float, n: int = 1 << 20, m: int = 1024,
+                            k: int = 2):
+    """North-star: ONE table filled to n=2^20 via the folded kernel
+    (BASELINE.md: fill log S(n,m;a) to n=10^6 at >80% roofline)."""
+    from libstb_tpu.ops import stirling_pallas as sp
+
+    if not sp.available():
+        n, m, k = 4096, 64, 1
+
+    @jax.jit
+    def chain(a0):
+        def body(carry, _):
+            v, s = sp.fill_table(a0 + carry * 1e-20, n, m, with_srel=True)
+            return v[-1, -1] + s[-1, -1], None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+        return c
+
+    a0 = jnp.float32(0.5)
+    _readback(chain(a0).reshape(1))
+    t0 = time.perf_counter()
+    _readback(chain(a0).reshape(1))
+    dt = (time.perf_counter() - t0 - oh) / k
+    cells = n * m
+    return cells * 8 / dt, cells / dt
+
+
 def sampler_throughput(oh: float, chains: int = 4096, iters: int = 32):
     """Joint (a,b) posterior samples/s on the demo workload."""
     from libstb_tpu.core import agrid
@@ -143,6 +169,11 @@ def main():
                           "unit": "GB/s", "vs_baseline": 0.0}))
         return
     try:
+        one_bps, one_cps = single_table_throughput(oh)
+    except Exception as e:
+        print(f"single-table bench failed: {e!r}", file=sys.stderr)
+        one_bps = one_cps = float("nan")
+    try:
         sps = sampler_throughput(oh)
     except Exception as e:                      # keep the contract line
         print(f"sampler bench failed: {e}", file=sys.stderr)
@@ -151,7 +182,8 @@ def main():
     target = 0.8 * bw
     print(f"# copy roofline: {bw/1e9:.0f} GB/s; fill: {fill_bps/1e9:.0f} "
           f"GB/s = {fill_bps/bw*100:.0f}% roofline, {fill_cps/1e9:.1f} "
-          f"Gcells/s; (a,b) samples/s: {sps:.3g} "
+          f"Gcells/s; single-table n=2^20: {one_bps/1e9:.0f} GB/s = "
+          f"{one_bps/bw*100:.0f}% roofline; (a,b) samples/s: {sps:.3g} "
           f"(target 1e5)", file=sys.stderr)
     print(json.dumps({
         "metric": "stirling_grid_fill",

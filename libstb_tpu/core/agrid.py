@@ -27,7 +27,7 @@ import numpy as np
 
 from . import stirling
 
-__all__ = ["AGridTable", "make_grid", "ensure_grid"]
+__all__ = ["AGridTable", "make_grid", "ensure_grid", "required_dims"]
 
 
 def _catmull_weights(t, dtype):
@@ -63,6 +63,20 @@ class AGridTable:
     s1_lo: jax.Array         # (G, N)
     vtab: Optional[jax.Array]   # (G, N, M)
     srel: Optional[jax.Array]   # (G, N, M)
+    # hard bounds + asymptote policy (S_make's maxN/maxM + S_ASYMPT,
+    # stable.h:32-44): queries beyond (n_max, m_max) fall back to the
+    # asymptote / -inf / 0 conventions of stable.c:941-974 instead of
+    # silently clamping.  0 means "= n_max/m_max" (filled in by make_grid).
+    max_n: int = dataclasses.field(default=0, metadata=dict(static=True))
+    max_m: int = dataclasses.field(default=0, metadata=dict(static=True))
+    use_asympt: bool = dataclasses.field(default=True,
+                                         metadata=dict(static=True))
+
+    def _hard_n(self) -> int:
+        return self.max_n if self.max_n else self.n_max
+
+    def _hard_m(self) -> int:
+        return self.max_m if self.max_m else self.m_max
 
     # -- grid locate --------------------------------------------------------
     def _locate(self, a):
@@ -75,7 +89,11 @@ class AGridTable:
 
     # -- queries (each vmappable over chains with per-chain a) -------------
     def S(self, n, m, a):
-        """log S^n_{m,a} by cubic interpolation (S_S semantics)."""
+        """log S^n_{m,a} by cubic interpolation (S_S, stable.c:941-974).
+
+        Total function: n==m -> 0, m==1 -> S1, m<1 or n<m -> -inf; beyond
+        (n_max, m_max) the asymptote (stable.c:951-953) when
+        ``use_asympt`` else -inf -- never a silent clamp."""
         n = jnp.asarray(n)
         m = jnp.asarray(m)
         dt = self.srel.dtype
@@ -88,12 +106,22 @@ class AGridTable:
             gk = g - 1 + k
             acc = acc + w[k] * (self.s1_hi[gk, i] + self.srel[gk, i, j]
                                 + self.s1_lo[gk, i])
+        in_tab = (n >= 1) & (n <= self.n_max) & (m >= 1) & (m <= self.m_max)
+        if self.use_asympt:
+            af = jnp.asarray(a, dt)
+            lga1 = jax.lax.lgamma(1.0 - af)
+            asy = stirling.s_asympt(af, lga1, jnp.maximum(n, 1).astype(dt),
+                                    jnp.maximum(m, 1).astype(dt))
+            acc = jnp.where(in_tab, acc, asy.astype(dt))
+        else:
+            acc = jnp.where(in_tab, acc, -jnp.inf)
         acc = jnp.where(n == m, jnp.zeros((), dt), acc)
         acc = jnp.where(m == 1, self.S1(n, a), acc)
         return jnp.where((m < 1) | (n < m), -jnp.inf, acc)
 
     def Srel(self, n, m, a):
-        """log S^n_{m,a} - log S^n_{1,a} (difference form; -inf-safe)."""
+        """log S^n_{m,a} - log S^n_{1,a} (difference form; -inf-safe).
+        Out-of-grid queries follow S()'s asymptote/-inf conventions."""
         n = jnp.asarray(n)
         m = jnp.asarray(m)
         dt = self.srel.dtype
@@ -105,12 +133,23 @@ class AGridTable:
         for k in range(4):
             gk = g - 1 + k
             acc = acc + w[k] * self.srel[gk, i, j]
+        in_tab = (n >= 1) & (n <= self.n_max) & (m >= 1) & (m <= self.m_max)
+        if self.use_asympt:
+            af = jnp.asarray(a, dt)
+            lga1 = jax.lax.lgamma(1.0 - af)
+            asy = stirling.s_asympt(af, lga1, jnp.maximum(n, 1).astype(dt),
+                                    jnp.maximum(m, 1).astype(dt))
+            acc = jnp.where(in_tab, acc, (asy - self.S1(n, a)).astype(dt))
+        else:
+            acc = jnp.where(in_tab, acc, -jnp.inf)
         acc = jnp.where(m == 1, jnp.zeros((), dt), acc)
         acc = jnp.where(n == m,
                         -self.S1(n, a), acc)
         return jnp.where((m < 1) | (n < m), -jnp.inf, acc)
 
     def S1(self, n, a):
+        """log S^n_{1,a}; beyond the grid rows the exact lgamma formula
+        (stable.h:154-160) replaces the table read."""
         n = jnp.asarray(n)
         dt = self.s1_hi.dtype
         i = jnp.clip(n - 1, 0, self.n_max - 1)
@@ -120,10 +159,16 @@ class AGridTable:
         for k in range(4):
             gk = g - 1 + k
             acc = acc + w[k] * (self.s1_hi[gk, i] + self.s1_lo[gk, i])
+        af = jnp.asarray(a, dt)
+        beyond = (jax.lax.lgamma(jnp.maximum(n, 1).astype(dt) - af)
+                  - jax.lax.lgamma(1.0 - af))
+        acc = jnp.where(n <= self.n_max, acc, beyond)
         return jnp.where(n >= 1, acc, -jnp.inf)
 
     def V(self, n, m, a):
-        """V^n_{m,a} interpolated in a (S_V semantics; 0 out of domain)."""
+        """V^n_{m,a} interpolated in a (S_V, stable.c:900-939): 0 out of
+        domain; beyond n_max the V asymptote (stable.c:905-912) when
+        ``use_asympt``, else 0."""
         n = jnp.asarray(n)
         m = jnp.asarray(m)
         dt = self.vtab.dtype
@@ -135,6 +180,14 @@ class AGridTable:
         for k in range(4):
             gk = g - 1 + k
             acc = acc + w[k] * self.vtab[gk, i, j]
+        in_tab = (n <= self.n_max) & (m <= self.m_max)
+        if self.use_asympt:
+            asy = stirling.v_asympt(jnp.asarray(a, dt),
+                                    jnp.maximum(n, 2).astype(dt),
+                                    jnp.maximum(m, 2).astype(dt)).astype(dt)
+            acc = jnp.where(in_tab, acc, jnp.where(n > self.n_max, asy, 0.0))
+        else:
+            acc = jnp.where(in_tab, acc, 0.0)
         return jnp.where((m < 2) | (n < m), jnp.zeros((), dt), acc)
 
     def U(self, n, m, a):
@@ -156,6 +209,13 @@ class AGridTable:
         result equals interpolating the sum of log-S terms (linearity).
         Entries with n<=1 contribute 0 (samplea.c:73-79 skips n<=1).
         Returns (G,) (or (..., G) for batched ns/ts with leading axes).
+
+        Pairs must lie within the grid (t <= m_max, n <= n_max) except for
+        the exact identities (t==n contributes 0, t==1 contributes S1);
+        out-of-grid NON-identity pairs have no cheap in-graph value, so
+        drivers must grow the grid first (ensure_grid /
+        required_dims) -- the reference's S_extend-on-query
+        (stable.c:963) done preflight.
 
         When the pair counts ``ns`` are shared across chains (the usual
         Gibbs case: data is fixed, only t varies per chain) the reduction
@@ -185,17 +245,23 @@ class AGridTable:
     def _data_curve_mm(self, ns, ts, weights=None):
         """MXU route of data_curve (shared ns): see data_curve docstring.
 
-        rows[g, p, m] = S1(n_p) + Srel(n_p, m+1) carries the m==1 and
-        n==t identities for free (Srel(n, 1) = 0; Srel(n, n) = -S1(n)),
-        so the one-hot contraction needs no special cases beyond the
-        n<=1 mask.
+        rows[g, p, m] = S1(n_p) + Srel(n_p, m+1) carries the m==1
+        identity for free (Srel(n, 1) = 0); the t==n identity (log S = 0)
+        is applied as an explicit mask -- relying on the in-table
+        diagonal only covers t == n <= m_max, and clipping would
+        otherwise gather Srel(n, m_max) for all-singleton pairs with
+        n > m_max.
         """
         dt = self.srel.dtype
         i = jnp.clip(ns - 1, 0, self.n_max - 1)
         rows = (self.s1_hi[:, i, None] + self.srel[:, i, :]
                 + self.s1_lo[:, i, None])              # (G, P, M)
         rows = jnp.where(jnp.isfinite(rows), rows, 0.0)
-        mask = (ns[None] > 1) & (ts >= 1) & (ts <= ns[None])
+        # t==n contributes exactly 0; excluding it from the contraction
+        # also keeps the j-clip below from fabricating a value when
+        # t == n > m_max (out-of-grid NON-identity pairs stay the
+        # caller's responsibility -- see data_curve docstring).
+        mask = (ns[None] > 1) & (ts >= 1) & (ts <= ns[None]) & (ts != ns[None])
         w = mask.astype(dt) if weights is None else weights * mask
         j = jnp.clip(ts - 1, 0, self.m_max - 1)
         oh = jax.nn.one_hot(j, self.m_max, dtype=dt) * w[..., None]
@@ -225,7 +291,8 @@ def make_grid(n_max: int, m_max: int, g: int = 100,
               a_lo: float = 0.0, a_hi: float = 0.99,
               build_s: bool = True, build_v: bool = True,
               dtype=jnp.float32, use_pallas: Optional[bool] = None,
-              mesh=None) -> AGridTable:
+              mesh=None, max_n: int = 0, max_m: int = 0,
+              use_asympt: bool = True) -> AGridTable:
     """Fill tables for a uniform discount grid.
 
     The default [0, 0.99] covers the sampler bounds A_MIN=0.01..A_MAX=0.98
@@ -242,18 +309,24 @@ def make_grid(n_max: int, m_max: int, g: int = 100,
     tables stay G-sharded in HBM, and queries' 4-point stencils resolve
     locally because da * stencil << shard width).  ``g`` must divide by
     the mesh axis size.
+
+    ``max_n``/``max_m``: hard bounds (S_make's maxN/maxM); 0 = no growth
+    headroom beyond (n_max, m_max).  ``use_asympt``: S_ASYMPT analog for
+    out-of-grid queries (default on -- grids are production tables and
+    in-graph queries cannot extend them; growth happens via ensure_grid).
     """
     avec = np.linspace(a_lo, a_hi, g)
     s1 = np.stack([stirling.s1_host(float(a), n_max) for a in avec])
     if mesh is None:
         return _finish_grid(avec, s1, n_max, m_max, build_s, build_v,
-                            dtype, use_pallas)
+                            dtype, use_pallas, max_n, max_m, use_asympt)
     return _make_grid_sharded(avec, s1, n_max, m_max, build_s, build_v,
-                              dtype, use_pallas, mesh)
+                              dtype, use_pallas, mesh, max_n, max_m,
+                              use_asympt)
 
 
 def _make_grid_sharded(avec, s1, n_max, m_max, build_s, build_v, dtype,
-                       use_pallas, mesh):
+                       use_pallas, mesh, max_n=0, max_m=0, use_asympt=True):
     from jax.sharding import NamedSharding, PartitionSpec as P
     axis = mesh.axis_names[0]
     nd = mesh.shape[axis]
@@ -308,11 +381,12 @@ def _make_grid_sharded(avec, s1, n_max, m_max, build_s, build_v, dtype,
         n_max=n_max, m_max=m_max, avec=a_dev,
         s1_hi=s1_hi, s1_lo=s1_lo,
         vtab=vtab if build_v else None,
-        srel=srel if build_s else None)
+        srel=srel if build_s else None,
+        max_n=max_n, max_m=max_m, use_asympt=use_asympt)
 
 
 def _finish_grid(avec, s1, n_max, m_max, build_s, build_v, dtype,
-                 use_pallas):
+                 use_pallas, max_n=0, max_m=0, use_asympt=True):
     if np.dtype(dtype) == np.float64:
         s1_hi = jnp.asarray(s1)
         s1_lo = jnp.zeros_like(s1_hi)
@@ -339,7 +413,8 @@ def _finish_grid(avec, s1, n_max, m_max, build_s, build_v, dtype,
         avec=jnp.asarray(avec, dtype),
         s1_hi=s1_hi, s1_lo=s1_lo,
         vtab=vtab if build_v else None,
-        srel=srel if build_s else None)
+        srel=srel if build_s else None,
+        max_n=max_n, max_m=max_m, use_asympt=use_asympt)
 
 
 def _grow_bucket(used: int, want: int) -> int:
@@ -357,20 +432,48 @@ def _grow_bucket(used: int, want: int) -> int:
 
 
 def ensure_grid(grid: AGridTable, n: int, m: int,
-                use_pallas: Optional[bool] = None) -> AGridTable:
+                use_pallas: Optional[bool] = None,
+                quit_on_bound: bool = False) -> AGridTable:
     """Growth for grid tables (the S_extend analog, host-level): returns a
     (possibly new) grid covering (n, m) with bucketed dimensions so jit
     caches stay warm.  Refills the whole grid -- the batched fill is fast
     enough that the reference's incremental L-shaped refill isn't worth
-    its complexity here."""
+    its complexity here.
+
+    Growth clamps at the hard bounds (max_n/max_m, when set): beyond them
+    queries fall to the asymptote/-inf conventions, or -- with
+    ``quit_on_bound`` (the S_QUITONBOUND policy, stable.h:32-33) -- this
+    call raises LibstbError instead of returning a clamped grid."""
     n = int(n) + 1
     m = int(m) + 1
+    if quit_on_bound and (n > grid._hard_n() or m > grid._hard_m()):
+        from ..utils import yaps
+        yaps.quit("ensure_grid(%d,%d) hit hard bounds (%d,%d)",
+                  n, m, grid._hard_n(), grid._hard_m())
+    n = min(n, grid._hard_n())
+    m = min(m, grid._hard_m())
     if n <= grid.n_max and m <= grid.m_max:
         return grid
-    new_n = _grow_bucket(grid.n_max, max(n, grid.n_max))
-    new_m = min(_grow_bucket(grid.m_max, max(m, grid.m_max)), new_n)
+    new_n = min(_grow_bucket(grid.n_max, max(n, grid.n_max)), grid._hard_n())
+    new_m = min(_grow_bucket(grid.m_max, max(m, grid.m_max)), new_n,
+                grid._hard_m())
     avec = np.asarray(grid.avec, np.float64)
     s1 = np.stack([stirling.s1_host(float(a), new_n) for a in avec])
     return _finish_grid(avec, s1, new_n, new_m,
                         grid.srel is not None, grid.vtab is not None,
-                        grid.s1_hi.dtype, use_pallas)
+                        grid.s1_hi.dtype, use_pallas,
+                        grid.max_n, grid.max_m, grid.use_asympt)
+
+
+def required_dims(data_n, t=None):
+    """(n, m) the grid must cover for a Gibbs run over category counts
+    ``data_n`` (any shape): n = max count + 1 (the t+1 of V queries and
+    S_extend's N+1, stable.c:963), m = max table count + 1, where table
+    counts are bounded by the counts themselves unless a state ``t`` with
+    larger entries is supplied (HPYP levels can exceed per-category data
+    counts)."""
+    n_req = int(np.asarray(data_n).max()) + 1
+    m_req = n_req
+    if t is not None:
+        m_req = max(m_req, int(np.asarray(t).max()) + 1)
+    return n_req, m_req

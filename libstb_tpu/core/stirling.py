@@ -378,11 +378,17 @@ def make(init_n: int, init_m: int, max_n: int, max_m: int, a: float,
                       and np.dtype(dtype) == np.float32 and init_n >= 4096)
     if use_pallas:
         from ..ops import stirling_pallas
-        v_g, s_g = stirling_pallas.fill_grid(
-            jnp.asarray([a], dtype), init_n, init_m, with_srel=build_s,
-            dtype=dtype)
-        vtab = v_g[0]
-        srel = s_g[0] if s_g is not None else None
+        if init_m % 8 == 0:
+            # folded single-table kernel: all 8 sublanes on one table
+            # (the n=10^6 north-star path; ops/stirling_pallas.fill_table)
+            vtab, srel = stirling_pallas.fill_table(
+                a, init_n, init_m, with_srel=build_s, dtype=dtype)
+        else:
+            v_g, s_g = stirling_pallas.fill_grid(
+                jnp.asarray([a], dtype), init_n, init_m, with_srel=build_s,
+                dtype=dtype)
+            vtab = v_g[0]
+            srel = s_g[0] if s_g is not None else None
     else:
         vtab, srel, _ = fill_rows(a, init_n, init_m, dtype=dtype,
                                   with_srel=build_s)

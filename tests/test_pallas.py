@@ -66,3 +66,40 @@ def test_nosrel_path():
     v64 = np.asarray(v64)
     fin = np.isfinite(v64)
     np.testing.assert_allclose(np.asarray(vt)[0][fin], v64[fin], rtol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def filled_single():
+    N, M = 200, 64
+    vt, sr = sp.fill_table(0.4321, N, M, row_block=32, interpret=True)
+    return N, M, np.asarray(vt), np.asarray(sr)
+
+
+def test_folded_v_matches_f64(filled_single):
+    N, M, vt, _ = filled_single
+    v64, _, _ = stirling.fill_rows(0.4321, N, M, dtype=jnp.float64)
+    v64 = np.asarray(v64)
+    fin = np.isfinite(v64)
+    np.testing.assert_allclose(vt[fin], v64[fin], rtol=2e-5)
+
+
+def test_folded_srel_matches_f64(filled_single):
+    N, M, _, sr = filled_single
+    _, s64, _ = stirling.fill_rows(0.4321, N, M, dtype=jnp.float64)
+    s64 = np.asarray(s64)
+    fin = np.isfinite(s64)
+    assert np.max(np.abs(sr[fin] - s64[fin])) < 1e-4
+    np.testing.assert_array_equal(np.isneginf(sr), np.isneginf(s64))
+
+
+def test_folded_matches_grid_kernel():
+    """The folded single-table route must agree with the grid route --
+    same recurrence, different sublane layout."""
+    vt1, sr1 = sp.fill_table(0.55, 96, 32, row_block=16, interpret=True)
+    vt8, sr8 = sp.fill_grid(jnp.asarray([0.55], jnp.float32), 96, 32,
+                            row_block=16, interpret=True)
+    fin = np.isfinite(np.asarray(sr8[0]))
+    np.testing.assert_allclose(np.asarray(vt1), np.asarray(vt8[0]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sr1)[fin], np.asarray(sr8[0])[fin],
+                               rtol=1e-5, atol=1e-5)
