@@ -269,7 +269,8 @@ def hsa_sweep(key, hist, T, a, b, data: PYPData):
     return hist, T
 
 
-def _ct_conditional(tab, ni, ti, Tj, a, b, Hi, tmax: int, window):
+def _ct_conditional(tab, ni, ti, Tj, a, b, Hi, tmax: int, window,
+                    ti_off=None):
     """Masked log-weights over candidate t values (check.c:877-895).
 
     Weight(tt) proportional to  S(n,tt) * prod_{k=1}^{tt-1} H_i (b + (T - t_i + k) a)
@@ -278,9 +279,15 @@ def _ct_conditional(tab, ni, ti, Tj, a, b, Hi, tmax: int, window):
 
     ni and Hi may be scalars (shared data) or (C,) per-chain values (the
     hierarchical case, where counts and base probabilities at one level
-    are state of the level below).
+    are state of the level below).  ``ti_off`` is the stored table count
+    subtracted from the total Tj to get the other-categories total; it
+    defaults to ``ti`` but differs in the dynamic-n (hierarchical) case
+    where ``ti`` has been clamped to a shrunk n while Tj still carries the
+    stale stored count.
     """
     dt = a.dtype
+    if ti_off is None:
+        ti_off = ti
     tts = jnp.arange(1, tmax + 1)
     ni_c = jnp.asarray(ni)
     ni_col = ni_c[:, None] if ni_c.ndim == 1 else ni_c
@@ -289,7 +296,7 @@ def _ct_conditional(tab, ni, ti, Tj, a, b, Hi, tmax: int, window):
     # log prod term: cumsum over k of log(H_i (b + (T - ti + k) a)), k=1..tt-1
     ks = jnp.arange(1, tmax + 1).astype(dt)          # k = 1..tmax
     base = jnp.log(jnp.maximum(hi_col, 1e-30)) + jnp.log(jnp.maximum(
-        b[:, None] + (Tj - ti)[:, None].astype(dt) * a[:, None]
+        b[:, None] + (Tj - ti_off)[:, None].astype(dt) * a[:, None]
         + ks[None, :] * a[:, None], 1e-300 if dt == jnp.float64 else 1e-30))
     cum = jnp.cumsum(base, axis=-1)
     hterm = jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum[:, :-1]], axis=-1)
@@ -337,10 +344,13 @@ def ct_sweep(key, t, T, a, b, tab: Table, data: PYPData, tmax: int,
             Hi = jnp.broadcast_to(H[i], (C * J,))
         else:
             Hi = jnp.broadcast_to(H_arr[:, i, None], (C, J)).reshape(-1)
-        ti = t[:, :, i].reshape(-1)
+        ti_stored = t[:, :, i].reshape(-1)
         Tj = T.reshape(-1)
-        ti = jnp.minimum(ti, ni.astype(ti.dtype))      # dynamic-n guard
-        lw = _ct_conditional(tab, ni, ti, Tj, a_f, b_f, Hi, tmax, window)
+        ti = jnp.minimum(ti_stored, ni.astype(ti_stored.dtype))  # dyn-n guard
+        # Tj still counts the stale stored t during a dynamic-n transient,
+        # so the other-categories offset must subtract the stored value
+        lw = _ct_conditional(tab, ni, ti, Tj, a_f, b_f, Hi, tmax, window,
+                             ti_off=ti_stored)
         g = jax.random.gumbel(kg, lw.shape, a.dtype)
         tt = 1 + jnp.argmax(lw + g, axis=-1).astype(t.dtype)
         tt = jnp.where(ni > 0, tt, jnp.zeros_like(ti))

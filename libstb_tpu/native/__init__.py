@@ -86,8 +86,13 @@ def fill_ref(a: float, n_max: int, m_max: int,
 
 
 def crp_generate(seed: int, n_groups: int, dim: int, n_per_group: int,
-                 a: float, b: float, H: Optional[np.ndarray] = None):
-    """Native CRP simulation; returns a models.pyp.PYPData."""
+                 a: float, b: float, H: Optional[np.ndarray] = None,
+                 return_latent: bool = False):
+    """Native CRP simulation; returns a models.pyp.PYPData.
+
+    ``return_latent=True`` additionally returns the generator's latent
+    table counts: (data, t, T) with t (J, D) and T (J,) -- used by
+    statistical tests against the known PYP E[T] formula."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native toolchain unavailable")
@@ -115,5 +120,8 @@ def crp_generate(seed: int, n_groups: int, dim: int, n_per_group: int,
         firsts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     Hout = (Harr if Harr is not None
             else np.full(dim, 1.0 / dim, np.float64))
-    return pyp.PYPData(cats, grps, firsts.astype(bool), n,
+    data = pyp.PYPData(cats, grps, firsts.astype(bool), n,
                        n.sum(axis=1).astype(np.int32), Hout)
+    if return_latent:
+        return data, t, T
+    return data

@@ -158,9 +158,23 @@ def sample_table_config(key, tab, ns, ts, a, max_t: int, max_n: int):
     Args:
       ns, ts: (C, P) int32 counts; a: (C,) discounts; tab: AGridTable or
       StirlingTable covering (max_n, max_t).
+
+    ``max_t`` must be >= max(ts) + 1 and ``max_n`` >= max(ns): the peel
+    scan runs max_t - 1 steps, so a smaller max_t silently lumps the
+    unpeeled tables into one oversized remainder, skewing the size
+    histogram.  The reference derives maxt from the data for this reason
+    (samplea.c:277-284); do the same at the call site.  Concrete
+    (non-traced) inputs are checked here.
     """
     ns = jnp.asarray(ns)
     ts = jnp.asarray(ts)
+    if not isinstance(ts, jax.core.Tracer) and ts.size:
+        if int(jnp.max(ts)) + 1 > max_t:
+            raise ValueError(
+                f"max_t={max_t} < max(ts)+1={int(jnp.max(ts)) + 1}: the "
+                "peel scan would truncate table configurations")
+        if int(jnp.max(ns)) > max_n:
+            raise ValueError(f"max_n={max_n} < max(ns)={int(jnp.max(ns))}")
     a = jnp.asarray(a)
     dt = a.dtype
     C, P = ns.shape

@@ -28,7 +28,11 @@ _FORMAT = 1
 
 def save(path: str, state: Any, meta: Optional[dict] = None) -> str:
     """Write ``state`` (a pytree of arrays) + ``meta`` (JSON-able) to
-    ``path`` (.npz appended if missing).  Returns the final path."""
+    ``path`` (.npz appended if missing).  Returns the final path.
+
+    Multi-host: each process writes ``<path>.p<process_index>.npz`` with
+    its addressable shards, so saves on a shared filesystem never collide;
+    single-host saves keep the plain name."""
     leaves, treedef = jax.tree_util.tree_flatten(state)
     arrs = {}
     for i, leaf in enumerate(leaves):
@@ -37,10 +41,20 @@ def save(path: str, state: Any, meta: Optional[dict] = None) -> str:
             if jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key):
                 arrs[f"leaf{i}__key"] = np.asarray(jax.random.key_data(leaf))
                 continue
-            leaf = np.asarray(jax.device_get(leaf))
+            if not leaf.is_fully_addressable:
+                # keep only this process's shards (reassembled on load by
+                # the caller re-sharding with parallel.mesh)
+                shards = sorted(leaf.addressable_shards,
+                                key=lambda s: s.index)
+                leaf = np.concatenate([np.asarray(s.data) for s in shards])
+            else:
+                leaf = np.asarray(jax.device_get(leaf))
         arrs[f"leaf{i}"] = np.asarray(leaf)
-    if not path.endswith(".npz"):
-        path = path + ".npz"
+    if path.endswith(".npz"):
+        path = path[: -len(".npz")]
+    if jax.process_count() > 1:
+        path = f"{path}.p{jax.process_index()}"
+    path = path + ".npz"
     sidecar = {
         "format": _FORMAT,
         "treedef": jax.tree_util.tree_structure(state).serialize_using_proto().hex()
@@ -59,9 +73,13 @@ def save(path: str, state: Any, meta: Optional[dict] = None) -> str:
 
 
 def load(path: str, like: Any = None):
-    """Read a checkpoint.  ``like``: a pytree with the same structure used
-    to rebuild the treedef (required; structure is not self-describing
-    for arbitrary pytrees).  Returns (state, meta)."""
+    """Read a checkpoint.  Returns (state, meta).
+
+    ``like``: a pytree with the same structure, used to rebuild the
+    treedef.  When omitted, the treedef serialised in the sidecar is used
+    instead (works for standard containers and registered node types; if
+    deserialisation fails -- e.g. an unregistered custom node -- the flat
+    leaf list is returned and the caller unflattens)."""
     if not path.endswith(".npz"):
         path = path + ".npz"
     with open(path + ".json") as f:
@@ -75,7 +93,17 @@ def load(path: str, like: Any = None):
                 jax.numpy.asarray(data[f"leaf{i}__key"])))
         else:
             leaves.append(data[f"leaf{i}"])
-    if like is None:
-        return leaves, sidecar["meta"]
-    treedef = jax.tree_util.tree_structure(like)
-    return jax.tree_util.tree_unflatten(treedef, leaves), sidecar["meta"]
+    if like is not None:
+        treedef = jax.tree_util.tree_structure(like)
+        return jax.tree_util.tree_unflatten(treedef, leaves), sidecar["meta"]
+    if sidecar.get("treedef"):
+        try:
+            proto = bytes.fromhex(sidecar["treedef"])
+            td0 = jax.tree_util.tree_structure(0)
+            treedef = type(td0).deserialize_using_proto(
+                jax.tree_util.default_registry, proto)
+            return (jax.tree_util.tree_unflatten(treedef, leaves),
+                    sidecar["meta"])
+        except Exception:
+            pass
+    return leaves, sidecar["meta"]

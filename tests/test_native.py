@@ -41,15 +41,22 @@ def test_fill_ref_exact_small_n():
 
 
 def test_crp_generate_statistics():
-    # E[T] for PYP(a, b) after n draws ~ (b/a) ((b+a)_n / (b)_n - 1);
-    # check the native generator's mean T against it loosely
+    # E[T] for PYP(a, b) after n draws = (b/a) ((b+a)_n / (b)_n - 1),
+    # (x)_n the rising factorial; check the generator's latent T mean.
+    from scipy.special import gammaln
     a, b, n = 0.5, 5.0, 200
-    reps = 300
+    reps = 400
     Ts = []
     for s in range(reps):
-        d = native.crp_generate(s + 1, 1, 50, n, a, b)
-        Ts.append((d.n > 0).sum())  # distinct categories, not T; use t sum
-    # instead validate internal consistency: counts match item streams
+        _, _, T = native.crp_generate(s + 1, 1, 50, n, a, b,
+                                      return_latent=True)
+        Ts.append(int(T[0]))
+    Ts = np.asarray(Ts, np.float64)
+    want = (b / a) * (np.exp(gammaln(b + a + n) - gammaln(b + a)
+                             - gammaln(b + n) + gammaln(b)) - 1.0)
+    se = Ts.std(ddof=1) / np.sqrt(reps)
+    assert abs(Ts.mean() - want) < 5 * se, (Ts.mean(), want, se)
+    # internal consistency: counts match item streams
     d = native.crp_generate(3, 2, 12, 80, a, b)
     for j in range(2):
         sel = d.data_grp == j

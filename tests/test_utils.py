@@ -27,6 +27,21 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(jax.random.uniform(state["key"], (3,))))
 
 
+def test_checkpoint_load_without_like(tmp_path):
+    # structure restored from the serialised treedef sidecar
+    state = {"t": jnp.arange(6).reshape(2, 3), "cfg": (1.5, 2.5),
+             "key": jax.random.key(3)}
+    p = checkpoint.save(str(tmp_path / "ck2"), state, meta={"n": 1})
+    loaded, meta = checkpoint.load(p)
+    assert isinstance(loaded, dict) and set(loaded) == set(state)
+    np.testing.assert_array_equal(np.asarray(loaded["t"]),
+                                  np.asarray(state["t"]))
+    assert tuple(np.asarray(x) for x in loaded["cfg"]) == (1.5, 2.5)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.uniform(loaded["key"], (2,))),
+        np.asarray(jax.random.uniform(state["key"], (2,))))
+
+
 def test_meter():
     m = metrics.Meter("fill", "cells/s")
     m.add(1000, 0.5)
