@@ -1,10 +1,21 @@
 #!/usr/bin/env python
 """Multi-sampler comparison -- the test/check.c analog.
 
-Runs the sampler variants (TI / CT / CTW) on the same generated data with
-repeats, reporting run-averaged posterior statistics +- stderr and wall
-time (check.c:663-1130 methodology).  Agreement of posterior means across
-mathematically equivalent samplers is the correctness criterion.
+Runs the sampler variants (SA / HSA / TI / CT / CTW) on the same
+generated data with repeats, reporting run-averaged posterior statistics
++- stderr and wall time (check.c:663-1130 methodology).  Agreement of
+posterior means across mathematically equivalent samplers is the
+correctness criterion.  SA is the explicit-seating host oracle
+(check.c:716-765; models/sa.py), run at small scale only.
+
+check.c parity covered here: the 5 sampler types (check.c:98), the 4
+base-distribution types (check.c:88-89 via --base), ms-bounded burn-in /
+cycle budgets ('-C 500ms' / '-B 100ms', check.c:380-393), hyper-sampling
+cycles (-H / -I), ARS vs slice for the hyper steps (-A, check.c:283),
+and repeat runs with run-averaged means +- stderr (check.c:1098-1130).
+
+Tables and samplers are configured through utils.config
+(TableConfig/SamplerConfig; env-overridable via LIBSTB_*).
 """
 import argparse
 import os
@@ -16,51 +27,108 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def _ms_arg(val):
+    """check.c's '-C 200' vs '-C 200ms' convention."""
+    s = str(val)
+    if s.endswith("ms"):
+        return None, float(s[:-2])
+    return int(s), None
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-a", type=float, default=0.5)
     p.add_argument("-b", type=float, default=10.0)
-    p.add_argument("-C", type=int, default=300, help="cycles per run")
-    p.add_argument("-B", type=int, default=0, help="burnin")
+    p.add_argument("-A", action="store_true", help="ARS kernel for a,b")
+    p.add_argument("-C", default="300",
+                   help="cycles per run; 'Nms' = wall-clock budget")
+    p.add_argument("-B", default="0",
+                   help="burnin; 'Nms' = wall-clock budget")
+    p.add_argument("-H", dest="bcycle", type=int, default=0,
+                   help="cycles between b samples")
+    p.add_argument("-I", dest="acycle", type=int, default=0,
+                   help="cycles between a samples")
     p.add_argument("-N", type=int, default=40, help="samples per group")
     p.add_argument("-R", type=int, default=4, help="repeat runs")
     p.add_argument("-s", type=int, default=0)
     p.add_argument("-w", type=int, default=10, help="CTW window")
     p.add_argument("--chains", type=int, default=32)
     p.add_argument("--dim", type=int, default=20)
+    p.add_argument("--base", default="uniform",
+                   choices=["uniform", "linear", "slowlinear", "dirichlet"])
     p.add_argument("--samplers", default="TI,CT,CTW,HSA")
     args = p.parse_args()
 
     import jax
     from libstb_tpu.core import agrid
-    from libstb_tpu.models import driver, pyp
-    from libstb_tpu.parallel import mesh as pmesh
+    from libstb_tpu.models import driver, pyp, sa
+    from libstb_tpu.utils import config
 
-    data = pyp.crp_generate(args.s, 1, args.dim, args.N, args.a, args.b)
+    tcfg = config.from_env(config.TableConfig)
+    scfg = config.from_env(config.SamplerConfig)
+    kernel = "ars" if args.A else scfg.kernel
+
+    H = pyp.base_distribution(args.base, args.dim, args.b,
+                              np.random.default_rng(args.s))
+    data = pyp.crp_generate(args.s, 1, args.dim, args.N, args.a, args.b,
+                            H=H)
     T_true = int((data.n > 0).sum())
+    iters, iter_ms = _ms_arg(args.C)
+    burnin, burnin_ms = _ms_arg(args.B)
     print(f"data: N={args.N} dim={args.dim} a={args.a} b={args.b} "
-          f"T_init={T_true} backend={jax.default_backend()}")
+          f"base={args.base} T_init={T_true} "
+          f"backend={jax.default_backend()} kernel={kernel}")
 
-    n_max = max(int(data.N.max()) + 2, 16)
-    grid = agrid.make_grid(n_max, n_max, g=64)
+    n_req, m_req = agrid.required_dims(data.n)
+    grid = agrid.make_grid(max(n_req, tcfg.init_n), max(m_req, tcfg.init_m),
+                           g=tcfg.grid_points, a_lo=tcfg.a_lo,
+                           a_hi=tcfg.a_hi,
+                           build_s=tcfg.build_s, build_v=tcfg.build_v,
+                           max_n=tcfg.max_n, max_m=tcfg.max_m,
+                           use_asympt=tcfg.use_asympt)
 
     for name in args.samplers.split(","):
-        cfg = driver.GibbsConfig(iters=args.C, burnin=args.B, sampler=name,
-                                 window=args.w, scale=float(args.dim))
-        Ts, secs = [], []
+        name = name.strip().upper()
+        Ts, bs, as_, secs = [], [], [], []
         for r in range(args.R):
             t0 = time.time()
-            out = driver.run_gibbs(jax.random.key(args.s + 17 * r + 1),
-                                   data, grid, args.chains,
-                                   args.a, args.b, cfg)
-            Tm = float(np.asarray(out["Tave_mean"])[0])
-            jax.block_until_ready(out["Tave"])
+            if name == "SA":
+                out = sa.sa_run(data, iters or 300, args.a, args.b,
+                                burnin=burnin or None, seed=args.s + r)
+                Tm = float(out["Tave"].sum())
+                am, bm = args.a, args.b
+            else:
+                cfg = driver.GibbsConfig(
+                    iters=iters or 300, burnin=burnin or 0,
+                    sampler=name, window=args.w, scale=float(args.dim),
+                    bcycle=args.bcycle, acycle=args.acycle, kernel=kernel,
+                    quit_on_bound=tcfg.quit_on_bound)
+                if iter_ms or burnin_ms:
+                    out = driver.run_gibbs_timed(
+                        jax.random.key(args.s + 17 * r + 1), data, grid,
+                        args.chains, args.a, args.b, cfg,
+                        iter_ms=iter_ms, burnin_ms=burnin_ms)
+                else:
+                    out = driver.run_gibbs(
+                        jax.random.key(args.s + 17 * r + 1), data, grid,
+                        args.chains, args.a, args.b, cfg)
+                Tm = float(np.asarray(out["Tave_mean"]).sum())
+                am = float(np.asarray(out["aave_mean"]))
+                bm = float(np.asarray(out["bave_mean"]))
+                jax.block_until_ready(out["Tave"])
             secs.append(time.time() - t0)
-            Ts.append(Tm)
+            Ts.append(Tm); as_.append(am); bs.append(bm)
         Ts = np.asarray(Ts)
         se = Ts.std(ddof=1) / np.sqrt(len(Ts)) if len(Ts) > 1 else 0.0
-        print(f"  {name:4s}: E[T] = {Ts.mean():8.4f} +- {se:.4f}   "
-              f"({np.mean(secs)*1e3:.0f} ms/run)")
+        line = (f"  {name:4s}: E[T] = {Ts.mean():8.4f} +- {se:.4f}   "
+                f"({np.mean(secs)*1e3:.0f} ms/run)")
+        if args.acycle:
+            line += f"  E[a]={np.mean(as_):.4f}"
+        if args.bcycle:
+            line += f"  E[b]={np.mean(bs):.4f}"
+        if iter_ms and name != "SA":
+            line += f"  [{out['iters_done']} iters in {out['elapsed_ms']:.0f}ms]"
+        print(line)
 
 
 if __name__ == "__main__":

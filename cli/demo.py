@@ -34,27 +34,39 @@ def main():
     p.add_argument("--dim", type=int, default=20, help="base dimension")
     p.add_argument("--sampler", default="TI",
                    choices=["TI", "CT", "CTW", "HSA"])
+    p.add_argument("--base", default="uniform",
+                   choices=["uniform", "linear", "slowlinear", "dirichlet"])
     args = p.parse_args()
 
     import jax
     from libstb_tpu.core import agrid
     from libstb_tpu.models import driver, pyp
-    from libstb_tpu.utils import yaps
+    from libstb_tpu.utils import config, yaps
 
+    tcfg = config.from_env(config.TableConfig)
+    scfg = config.from_env(config.SamplerConfig)
     yaps.message("Configuration: a=%g b=%g chains=%d sampler=%s backend=%s",
                  args.a, args.b, args.chains, args.sampler,
                  jax.default_backend())
+    H = pyp.base_distribution(args.base, args.dim, args.b,
+                              np.random.default_rng(args.s))
     data = pyp.crp_generate(args.s, args.groups, args.dim, args.N,
-                            args.a, args.b)
+                            args.a, args.b, H=H)
     yaps.message("data: n=%s T_true(per-group)=%s",
                  data.n.tolist(), (data.n > 0).sum(axis=1).tolist())
 
     n_max = max(int(data.N.max()) + 2, 16)
     m_max = min(args.T, n_max)
-    grid = agrid.make_grid(n_max, m_max, g=64)
+    grid = agrid.make_grid(n_max, m_max, g=tcfg.grid_points,
+                           a_lo=tcfg.a_lo, a_hi=tcfg.a_hi,
+                           build_s=tcfg.build_s, build_v=tcfg.build_v,
+                           max_n=tcfg.max_n, max_m=tcfg.max_m,
+                           use_asympt=tcfg.use_asympt)
     cfg = driver.GibbsConfig(iters=args.C, burnin=args.B, bcycle=args.H,
                              acycle=args.I, sampler=args.sampler,
-                             scale=float(args.dim))
+                             scale=float(args.dim), kernel=scfg.kernel,
+                             shape=scfg.b_shape,
+                             quit_on_bound=tcfg.quit_on_bound)
     t0 = time.time()
     out = driver.run_gibbs(jax.random.key(args.s + 1), data, grid,
                            args.chains, args.a, args.b, cfg)

@@ -19,7 +19,7 @@ from ..core import agrid
 from ..samplers import hyper
 from . import pyp
 
-__all__ = ["GibbsConfig", "run_gibbs"]
+__all__ = ["GibbsConfig", "run_gibbs", "run_gibbs_timed"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,6 +37,11 @@ class GibbsConfig:
     ti_legacy: bool = False   # reproduce demo.c:427's t/(n-t+1) odds
     ti_skip_first: bool = True  # False = demo.c resamples first indicators
     collect_traces: bool = False  # keep (a, b) per-iter traces + R-hat/ESS
+    kernel: str = "slice"     # 1-D MCMC kernel for (a, b): "slice" | "ars"
+                              # (the -A / PSAMPLE_ARS switch, check.c:283)
+    quit_on_bound: bool = False  # S_QUITONBOUND: raise instead of
+                              # clamping when preflight growth hits the
+                              # grid's hard bounds (stable.h:32-33)
 
     def resolved_burnin(self) -> int:
         return self.burnin if self.burnin > 0 else self.iters // 2
@@ -61,7 +66,8 @@ def run_gibbs(key, data: pyp.PYPData, grid: agrid.AGridTable,
     the asymptote instead of extending).
     """
     n_req, m_req = agrid.required_dims(data.n)
-    grid = agrid.ensure_grid(grid, n_req, m_req)
+    grid = agrid.ensure_grid(grid, n_req, m_req,
+                             quit_on_bound=cfg.quit_on_bound)
     dt = grid.srel.dtype
     t, T = pyp.init_state(data, chains)
     hsa = cfg.sampler.upper() == "HSA"
@@ -72,6 +78,95 @@ def run_gibbs(key, data: pyp.PYPData, grid: agrid.AGridTable,
     return _run_gibbs_jit(key, data, grid, t, T, hist0, a, b,
                           chains=chains, cfg=cfg, tmax=tmax,
                           burnin=cfg.resolved_burnin())
+
+
+def run_gibbs_timed(key, data: pyp.PYPData, grid: agrid.AGridTable,
+                    chains: int, a0: float, b0: float, cfg: GibbsConfig,
+                    iter_ms: Optional[float] = None,
+                    burnin_ms: Optional[float] = None,
+                    chunk: int = 16):
+    """Wall-clock-bounded Gibbs run (check.c's '-C Nms' / '-B Nms' modes,
+    check.c:380-393, 1028-1054).
+
+    Runs jitted chunks of ``chunk`` iterations, carrying state across
+    calls; burn-in ends when ``burnin_ms`` elapses (or cfg's burn-in
+    count), sampling stops when ``iter_ms`` elapses (or cfg.iters).
+    The first chunk's compile time is excluded, like check.c's timer
+    starting after S_make.  Returns run_gibbs-style statistics plus
+    ``iters_done``/``burnin_done``.
+    """
+    import time
+
+    n_req, m_req = agrid.required_dims(data.n)
+    grid = agrid.ensure_grid(grid, n_req, m_req,
+                             quit_on_bound=cfg.quit_on_bound)
+    dt = grid.srel.dtype
+    # align the chunk so in-chunk cycle phases match the global schedule
+    for cyc in (cfg.bcycle, cfg.acycle):
+        if cyc > 0:
+            while chunk % cyc:
+                chunk += 1
+    t, T = pyp.init_state(data, chains)
+    hsa = cfg.sampler.upper() == "HSA"
+    hist = pyp.init_hsa(data, chains)[0] if hsa else None
+    a = jnp.full((chains,), a0, dt)
+    b = jnp.full((chains,), b0, dt)
+    tmax = int(data.n.max()) + 1
+    ccfg = dataclasses.replace(cfg, iters=chunk, burnin=0,
+                               collect_traces=False)
+
+    def one_chunk(key, t, T, hist, a, b):
+        out = _run_gibbs_jit(key, data, grid, t, T, hist, a, b,
+                             chains=chains, cfg=ccfg, tmax=tmax, burnin=0)
+        st = out["hist"] if hsa else out["t"]
+        return out, st, out["T"], out["a"], out["b"]
+
+    # warm the compile cache off the clock (check.c times after S_make)
+    key, kw = jax.random.split(key)
+    out, *_ = one_chunk(kw, t, T, hist, a, b)
+    jax.block_until_ready(out["Tave"])
+
+    sums = None
+    kept = 0
+    done = 0
+    burnin_done = None
+    start = time.perf_counter()
+    max_iters = cfg.iters if iter_ms is None else 10 ** 9
+    burnin = cfg.resolved_burnin() if burnin_ms is None else None
+    while done < max_iters:
+        key, kc = jax.random.split(key)
+        out, st, T, a, b = one_chunk(kc, t, T, hist, a, b)
+        if hsa:
+            hist, t = st, out["t"]
+        else:
+            t = st
+        jax.block_until_ready(out["Tave"])
+        done += chunk
+        el_ms = (time.perf_counter() - start) * 1e3
+        in_burn = (el_ms <= burnin_ms if burnin_ms is not None
+                   else done <= burnin)
+        if not in_burn:
+            if burnin_done is None:
+                burnin_done = done - chunk
+            vals = [np.asarray(out[k]) for k in
+                    ("tave", "Tave", "aave", "bave")]
+            sums = vals if sums is None else [s + v for s, v in
+                                              zip(sums, vals)]
+            kept += 1
+        if iter_ms is not None and el_ms > iter_ms:
+            break
+    if sums is None:         # budget exhausted inside burn-in
+        sums = [np.asarray(out[k]) for k in ("tave", "Tave", "aave",
+                                             "bave")]
+        kept = 1
+        burnin_done = done - chunk
+    tave, Tave, aave, bave = [s / kept for s in sums]
+    return dict(tave=tave, Tave=Tave, aave=aave, bave=bave,
+                tave_mean=tave.mean(axis=0), Tave_mean=Tave.mean(axis=0),
+                aave_mean=aave.mean(), bave_mean=bave.mean(),
+                t=t, T=T, a=a, b=b,
+                iters_done=done, burnin_done=burnin_done,
+                elapsed_ms=(time.perf_counter() - start) * 1e3)
 
 
 @functools.partial(jax.jit, static_argnames=("chains", "cfg", "tmax",
@@ -111,14 +206,15 @@ def _run_gibbs_jit(key, data, grid, t, T, hist0, a, b, *,
             def do_b(b):
                 out, _ = hyper.sample_b(
                     kb, b, N_b, T[:, : cfg.b_groups].astype(dt), a,
-                    cfg.shape, cfg.scale)
+                    cfg.shape, cfg.scale, kernel=cfg.kernel)
                 return out.astype(b.dtype)
             b = jax.lax.cond(it % cfg.bcycle == 0, do_b, lambda b: b, b)
         if cfg.acycle > 0:
             def do_a(a):
                 out, _ = hyper.sample_a(
                     ka, a, grid, ns_flat, t.reshape(chains, -1),
-                    T.astype(dt), jnp.broadcast_to(b[:, None], T.shape))
+                    T.astype(dt), jnp.broadcast_to(b[:, None], T.shape),
+                    kernel=cfg.kernel)
                 return out.astype(a.dtype)
             a = jax.lax.cond(it % cfg.acycle == 0, do_a, lambda a: a, a)
         rec = (it >= burnin).astype(dt)

@@ -31,8 +31,9 @@ import numpy as np
 
 from ..core import agrid, stirling
 
-__all__ = ["crp_generate", "init_state", "init_hsa", "ti_sweep", "ct_sweep",
-           "ctw_sweep", "hsa_sweep", "PYPData"]
+__all__ = ["crp_generate", "base_distribution", "init_state", "init_hsa",
+           "ti_sweep", "ti_schedule", "ti_sweep_blocked", "ct_sweep",
+           "ctw_sweep", "ctw_sweep_rel", "hsa_sweep", "PYPData"]
 
 Table = Union[agrid.AGridTable, stirling.StirlingTable]
 
@@ -57,6 +58,31 @@ def _srelq(tab: Table, n, m, a):
     if isinstance(tab, agrid.AGridTable):
         return tab.Srel(n, m, a)
     return tab.Srel(n, m)
+
+
+def base_distribution(kind: str, dim: int, b: float = 1.0,
+                      rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """The 4 base-distribution types of check.c (check.c:88-89, 546-576):
+    uniform, linear ramp (H_i prop. to D-i), slow linear ramp
+    (prop. to 1.5D-i), and a truncated stick-breaking draw with
+    Beta(1, b) sticks ("dirichlet")."""
+    kind = kind.lower()
+    if kind == "uniform":
+        H = np.ones(dim)
+    elif kind == "linear":
+        H = (dim - np.arange(dim)).astype(np.float64)
+    elif kind == "slowlinear":
+        H = 1.5 * dim - np.arange(dim)
+    elif kind == "dirichlet":
+        if rng is None:
+            rng = np.random.default_rng(0)
+        sticks = rng.beta(1.0, b, size=dim)
+        left = np.concatenate([[1.0], np.cumprod(1.0 - sticks[:-1])])
+        H = left * sticks
+        H[-1] += left[-1] * (1.0 - sticks[-1])
+    else:
+        raise ValueError(f"unknown base type {kind}")
+    return H / H.sum()
 
 
 def crp_generate(seed: int, n_groups: int, dim: int, n_per_group: int,
@@ -180,6 +206,116 @@ def ti_sweep(key, t, T, a, b, tab: Table, data: PYPData,
 
     (t, T, _), _ = jax.lax.scan(item, (t, T, key), (cats, grps, firsts))
     return t, T
+
+
+def ti_schedule(data: PYPData, mode: str = "group") -> np.ndarray:
+    """Item schedule (S, W) of item indices (-1 = pad) for the parallel
+    TI sweep.
+
+    mode="group": step s holds the s-th item of every group -- an EXACT
+    reordering of the sequential sweep (groups are independent
+    restaurants, check.c's outer loop is per-group), W = J, S = max group
+    size.  mode="cat": step s holds the s-th occurrence of every (group,
+    category) pair -- W = #occupied pairs, S = max category count; within
+    a step the (b + T a) factor reads the block-start group total (see
+    ti_sweep_blocked).
+    """
+    grp = np.asarray(data.data_grp)
+    cat = np.asarray(data.data_cat)
+    L = grp.shape[0]
+    if mode == "group":
+        keys = grp.astype(np.int64)
+    elif mode == "cat":
+        D = data.n.shape[1]
+        pair = grp.astype(np.int64) * D + cat
+        uniq, keys = np.unique(pair, return_inverse=True)
+    else:
+        raise ValueError(f"unknown schedule mode {mode}")
+    W = int(keys.max()) + 1
+    order = np.argsort(keys, kind="stable")
+    counts = np.bincount(keys, minlength=W)
+    S = int(counts.max())
+    sched = np.full((S, W), -1, np.int32)
+    pos = 0
+    for w in range(W):
+        c = counts[w]
+        sched[:c, w] = order[pos:pos + c]
+        pos += c
+    return sched
+
+
+@functools.partial(jax.jit, static_argnames=("skip_first", "legacy_odds"))
+def _ti_blocked_jit(key, t, T, a, b, tab: Table, data: PYPData, sched,
+                    skip_first: bool, legacy_odds: bool):
+    dt = a.dtype
+    cats = jnp.asarray(data.data_cat)
+    grps = jnp.asarray(data.data_grp)
+    firsts = jnp.asarray(data.first)
+    n = jnp.asarray(data.n)
+    H = jnp.asarray(data.H, dt)
+    C = t.shape[0]
+
+    def step(carry, idx):
+        t, T, key = carry                       # idx: (W,)
+        key, k1, k2 = jax.random.split(key, 3)
+        valid = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        i = cats[safe]                          # (W,)
+        j = grps[safe]
+        is_first = firsts[safe]
+        ni = n[j, i]
+        skip = (~valid) | (ni <= 1) | (is_first if skip_first else False)
+        ti = t[:, j, i]                         # (C, W)
+        Tj = T[:, j]                            # block-start totals
+        u1 = jax.random.uniform(k1, ti.shape, dt)
+        nif = ni.astype(dt)[None]
+        dec = (ti > 1) & ((nif - 1.0) * u1 < (ti - 1).astype(dt)) \
+            & ~skip[None]
+        ti2 = ti - dec
+        Tj2 = Tj - dec
+        v = _vq(tab, ni[None], ti2 + 1, a[:, None])
+        denom = (nif - ti2.astype(dt) + 1.0) if legacy_odds else jnp.maximum(
+            nif - ti2.astype(dt), 1.0)
+        one = (H[i][None] * (b[:, None] + Tj2.astype(dt) * a[:, None])
+               * ti2.astype(dt) / denom * v)
+        u2 = jax.random.uniform(k2, ti.shape, dt)
+        inc = (u2 < one / (one + 1.0)) & ~skip[None] & (ti2 < ni[None])
+        ti3 = ti2 + inc
+        # scatter: (j, i) pairs are distinct within a step by schedule
+        # construction, so t adds never collide; T adds may repeat j
+        # (cat mode) and accumulate
+        t = t.at[:, j, i].add((ti3 - ti).astype(t.dtype))
+        T = T.at[:, j].add((ti3 - ti).astype(T.dtype))
+        return (t, T, key), None
+
+    (t, T, _), _ = jax.lax.scan(step, (t, T, key), sched)
+    return t, T
+
+
+def ti_sweep_blocked(key, t, T, a, b, tab: Table, data: PYPData,
+                     sched: Optional[np.ndarray] = None,
+                     mode: str = "group", skip_first: bool = True,
+                     legacy_odds: bool = False):
+    """Parallel table-indicator sweep over an item schedule.
+
+    mode="group" processes one item of every group per sequential step --
+    an exact reordering of ti_sweep (the per-group chains compose the
+    same conditional updates in the same per-group order), cutting the
+    scan length from L items to max-group-size.  mode="cat" additionally
+    parallelises within groups over categories: per step, each occupied
+    (group, category) pair updates one indicator using the group total T
+    read at block start.  The t bookkeeping stays exact (pairs are
+    distinct); only the (b + T a) factor lags by at most the within-step
+    sibling updates, a bias that vanishes as T grows (tested against the
+    sequential sweep in tests/test_models.py).
+
+    Pass a precomputed ``sched`` (from ti_schedule) to amortise schedule
+    construction across sweeps.
+    """
+    if sched is None:
+        sched = ti_schedule(data, mode)
+    return _ti_blocked_jit(key, t, T, a, b, tab, data, jnp.asarray(sched),
+                           skip_first, legacy_odds)
 
 
 def init_hsa(data: PYPData, chains: int, smax: Optional[int] = None):
@@ -366,3 +502,70 @@ def ctw_sweep(key, t, T, a, b, tab: Table, data: PYPData, tmax: int,
               window: int = 10):
     """Windowed collapsed sweep (check.c:905-943, TWINDOW default 10)."""
     return ct_sweep(key, t, T, a, b, tab, data, tmax, window=window)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def ctw_sweep_rel(key, t, T, a, b, tab: Table, data: PYPData,
+                  window: int = 10):
+    """Windowed collapsed sweep with RELATIVE candidates (check.c:905-943).
+
+    ct_sweep builds the full 1..tmax candidate range and masks a window
+    out of it -- O(tmax) work per (chain, group) even though only
+    2*window+1 candidates matter, hopeless at check.c scale where counts
+    reach 10^5 (check.c:83).  Here candidates are t_i + [-w, w], so per
+    category the work is O(C * J * (2w+1)) regardless of the counts.
+
+    The window clamps into [1, n_i] by shifting (the reference clamps the
+    ends the same way, check.c:915-918); weights follow _ct_conditional's
+    derivation with the reference's relative-to-current-t form.
+    """
+    dt = a.dtype
+    n = jnp.asarray(data.n)
+    H = jnp.asarray(data.H, dt)
+    J, D = data.n.shape
+    C = t.shape[0]
+    a_f = jnp.broadcast_to(a[:, None], (C, J)).reshape(-1)
+    b_f = jnp.broadcast_to(b[:, None], (C, J)).reshape(-1)
+    offs = jnp.arange(-window, window + 1)        # (K,)
+    K = offs.shape[0]
+
+    def cat(carry, i):
+        t, T, key = carry
+        key, kg = jax.random.split(key)
+        ni = jnp.broadcast_to(n[None, :, i], (C, J)).reshape(-1)
+        Hi = jnp.broadcast_to(H[i], (C * J,))
+        ti = t[:, :, i].reshape(-1)
+        Tj = T.reshape(-1)
+        # candidate window [lo, lo+K-1] kept inside [1, ni]
+        lo = jnp.clip(ti - window, 1, jnp.maximum(ni - K + 1, 1))
+        tts = lo[:, None] + offs[None, :] + window  # = lo..lo+2w  (P, K)
+        # log prod_{k=1}^{tt-1} H (b + (T - ti + k) a): cumulative in tt;
+        # evaluate as lgamma differences to keep it O(K) per pair:
+        #   sum_{k=1}^{m} log(b + (T-ti)a + k a)
+        #     = m log(a) + lgamma((b + (T-ti)a)/a + m + 1)
+        #               - lgamma((b + (T-ti)a)/a + 1)           (a > 0)
+        base = (b_f + (Tj - ti).astype(dt) * a_f) / jnp.maximum(a_f, 1e-12)
+        mm = (tts - 1).astype(dt)
+        hlog = jnp.log(jnp.maximum(Hi, 1e-30))
+        safe_a = jnp.maximum(a_f, 1e-12)
+        cum = (mm * (hlog + jnp.log(safe_a))[:, None]
+               + jax.lax.lgamma(base[:, None] + mm + 1.0)
+               - jax.lax.lgamma(base[:, None] + 1.0))
+        # a == 0 chains: sum log(b) = m log b
+        cum0 = mm * (hlog + jnp.log(jnp.maximum(b_f, 1e-30)))[:, None]
+        cum = jnp.where(a_f[:, None] > 0, cum, cum0)
+        srel = _srelq(tab, ni[:, None], tts, a_f[:, None])
+        lw = cum + srel
+        ok = (tts >= 1) & (tts <= ni[:, None])
+        lw = jnp.where(ok, lw, -jnp.inf)
+        g = jax.random.gumbel(kg, lw.shape, dt)
+        pick = jnp.argmax(lw + g, axis=-1)
+        tt = jnp.take_along_axis(tts, pick[:, None], axis=-1)[:, 0]
+        tt = tt.astype(t.dtype)
+        tt = jnp.where(ni > 0, tt, jnp.zeros_like(ti))
+        T = (Tj + tt - ti).reshape(C, J)
+        t = t.at[:, :, i].set(tt.reshape(C, J))
+        return (t, T, key), None
+
+    (t, T, _), _ = jax.lax.scan(cat, (t, T, key), jnp.arange(D))
+    return t, T

@@ -265,24 +265,48 @@ def fill_grid(avec, n_max: int, m_max: int, row_block: int | None = None,
 # ---------------------------------------------------------------------------
 
 _FOLD = 8       # f32 sublane tile
+_UNROLL = 8     # manual row unroll inside the fori_loop
 
 
 def _kernel_folded(a_ref, v_ref, srel_ref, carry_ref, rcarry_ref,
-                   sacc_ref, scomp_ref, s1_ref, *, rows: int, m_max: int,
-                   with_srel: bool):
+                   sacc_ref, scomp_ref, lg_ref, s1_ref, *, rows: int,
+                   m_max: int, with_srel: bool):
     """One grid step of the FOLDED single-table fill.
 
     A single table at G=1 would occupy 1 of 8 sublanes in the grid kernel,
     capping it at ~1/8 of the VPU; here one n-row of M columns folds into
     an (8, M/8) tile -- m = sublane * (M/8) + lane -- so every vector op
-    runs at full occupancy.  The only cross-column dependency of the
-    recurrence is the m-1 shift, which in folded layout is a lane roll
-    plus a one-cell sublane carry (last lane of sublane s-1 feeds lane 0
-    of sublane s).  The HBM layout is unchanged: an (N, 8, M/8) output
-    reshapes to (N, M) row-major for free.
+    runs at full occupancy.  The HBM layout is unchanged: an (N, 8, M/8)
+    output reshapes to (N, M) row-major for free.
 
-    Same V-ratio recurrence + Kahan-carried Srel/S1 scratch as _kernel
-    (see its docstring; stable.c:475-482 / 875-883 semantics).
+    Performance structure (measured on v5e; see BENCH notes): the fill is
+    bound by the strict row-to-row dependence chain, so every per-row op
+    counts.  Hence:
+
+    * all loop state lives in fori_loop REGISTER carries; scratch refs are
+      touched once per grid step (VMEM round-trips per row cost ~2x);
+    * zero per-row scalar work: the row-dependent coefficients
+      (n-1 - m a) etc. are vreg carries advanced by +1 vector adds (a
+      per-row int->float scalar conversion alone costs ~12 ns);
+    * the m-1 boundary between sublanes uses two full-vreg rolls
+      (roll(roll(x, 1, lane), 1, sublane) puts x[s-1, L-1] at lane 0 of
+      sublane s) -- a strided 1-lane slice lowers catastrophically;
+    * the Srel transcendental is pipelined one row ahead: the log's input
+      is ready right after the divide, its value is consumed a full row
+      later, so it sits off the critical chain;
+    * grid steps past the diagonal run a LEAN body: no base-row/diagonal
+      selects, and no column-0 masks -- once the diagonal has passed the
+      last column the inf/0 sentinel algebra makes them redundant
+      (numer(0) = 1 + c*inf = inf, so v(0) stays inf and r(0) stays 0
+      for any finite wrapped-around boundary garbage);
+    * Srel increments use d = log(u / (n-a)) (one vector log + divide),
+      which is also MORE accurate than log(u) - log(n-a): the ratio is
+      near 1 where f32 log is exact to ~1e-7 absolute (verified against
+      the native long-double oracle: max |dSrel| 2.4e-3 at n=8192 vs
+      1.6e-2 for the difference form).
+
+    Same V-ratio recurrence + Kahan-carried Srel/S1 semantics as _kernel
+    (stable.c:475-482 / 875-883).
     """
     i = pl.program_id(0)
     L = m_max // _FOLD
@@ -291,73 +315,124 @@ def _kernel_folded(a_ref, v_ref, srel_ref, carry_ref, rcarry_ref,
     sub = jax.lax.broadcasted_iota(jnp.int32, (_FOLD, L), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (_FOLD, L), 1)
     midx = sub * L + lane                       # global column (m-1)
-    am = a * (midx + 1).astype(dt)              # m * a
-    am1 = a * midx.astype(dt)                   # (m-1) * a
     inf = jnp.inf
+    col0 = midx == 0
+    lane0 = lane == 0
 
     @pl.when(i == 0)
     def _():
-        carry_ref[:] = jnp.where(midx == 0, inf, 0.0).astype(dt)
-        rcarry_ref[:] = jnp.where(midx == 0, 0.0, inf).astype(dt)
+        carry_ref[:] = jnp.where(col0, inf, 0.0).astype(dt)
+        rcarry_ref[:] = jnp.where(col0, 0.0, inf).astype(dt)
         if with_srel:
-            sacc_ref[:] = jnp.where(midx == 0, 0.0, -inf).astype(dt)
+            sacc_ref[:] = jnp.where(col0, 0.0, -inf).astype(dt)
             scomp_ref[:] = jnp.zeros((_FOLD, L), dt)
-            s1_ref[:] = jnp.zeros((_FOLD, 128), dt)
+            lg_ref[:] = jnp.zeros((_FOLD, L), dt)
+            s1_ref[0] = jnp.zeros((), dt)
+            s1_ref[1] = jnp.zeros((), dt)
 
-    def row_body(r, _):
+    nm1_0 = (i * rows).astype(dt)
+    am = a * (midx + 1).astype(dt)
+    cm0 = nm1_0 - am                 # nm1 - m a
+    cma0 = cm0 + a                   # nm1 - (m-1) a
+    cmu0 = cm0 + 1.0                 # (nm1+1) - m a  (next row's u coeff)
+    one = jnp.ones((_FOLD, L), dt)
+    nma0 = (nm1_0 + 1.0 - a) * one   # (nm1+1) - a    (next row's d1 arg)
+
+    def shift_m(x):
+        y = pltpu.roll(x, 1, 1)
+        y2 = pltpu.roll(y, 1, 0)
+        return jnp.where(lane0, y2, y)
+
+    def row_lean(r, st):
+        v_prev, r_prev, sacc, comp, lg, cm, cma, cmu, nma, s1, c1 = st
+        rsh = shift_m(r_prev)
+        numer = 1.0 + cm * v_prev
+        denom = rsh + cma
+        v_new = numer / denom
+        r_new = denom / numer
+        v_ref[r, :, :] = v_new
+        if with_srel:
+            # consume last row's pipelined log-ratio
+            y = lg - comp
+            t = sacc + y
+            comp = (t - sacc) - y
+            sacc = t
+            srel_ref[r, :, :] = sacc
+            u = cmu + r_new
+            lg = jnp.log(u / nma)
+        return (v_new, r_new, sacc, comp, lg, cm + one, cma + one,
+                cmu + one, nma + one, s1, c1)
+
+    def row_full(r, st):
+        v_prev, r_prev, sacc, comp, lg, cm, cma, cmu, nma, s1, c1 = st
         global_row = i * rows + r
-        v_prev = carry_ref[:]
-        r_prev = rcarry_ref[:]
         is_base = global_row == 0
-
-        nm1 = (global_row).astype(dt)           # = n_new - 1
-        # m-1 shift in folded layout: lane roll + sublane boundary carry
-        recip_sh = pltpu.roll(r_prev, 1, 1)
-        last_col = pltpu.roll(r_prev[:, L - 1:L], 1, 0)   # (8,1) from s-1
-        recip_sh = jnp.where(lane == 0,
-                             jnp.broadcast_to(last_col, (_FOLD, L)),
-                             recip_sh)
-        recip_sh = jnp.where(midx == 0, 0.0, recip_sh)
-        numer = 1.0 + (nm1 - am) * v_prev
-        denom = recip_sh + (nm1 - am1)
+        rsh = shift_m(r_prev)
+        rsh = jnp.where(col0, 0.0, rsh)
+        numer = 1.0 + cm * v_prev
+        denom = rsh + cma
         v_new = numer / denom
         r_new = denom / numer
         v_new = jnp.where(is_base, v_prev, v_new)
         r_new = jnp.where(is_base, r_prev, r_new)
-        carry_ref[:] = v_new
-        rcarry_ref[:] = r_new
         v_ref[r, :, :] = v_new
-
         if with_srel:
-            # S1 increment, Kahan (sum in lane 0, comp in lane 1)
+            nm1 = (global_row).astype(dt)
+            # scalar-core S1 Kahan (only the diagonal fix-up needs it)
             d1 = jnp.log(jnp.maximum(nm1 - a, 1e-30))
             d1 = jnp.where(is_base, 0.0, d1)
-            s1 = s1_ref[:, 0:1]
-            c1 = s1_ref[:, 1:2]
             y1 = d1 - c1
             t1 = s1 + y1
-            s1_ref[:, 0:1] = t1
-            s1_ref[:, 1:2] = (t1 - s1) - y1
-
-            u = (nm1 - am) + r_prev
-            d = jnp.log(jnp.maximum(u, 1e-30)) - d1
-            d = jnp.where(is_base, 0.0, d)
-            sacc = sacc_ref[:]
-            comp = scomp_ref[:]
+            c1 = (t1 - s1) - y1
+            s1 = t1
+            d = jnp.where(is_base, 0.0, lg)
             y = d - comp
             t = sacc + y
             comp = (t - sacc) - y
             sacc = t
             ndiag = global_row
-            sacc = jnp.where(midx == ndiag, -t1, sacc)
+            sacc = jnp.where(midx == ndiag, -s1, sacc)
             sacc = jnp.where(midx > ndiag, -inf, sacc)
             comp = jnp.where(midx >= ndiag, 0.0, comp)
-            sacc_ref[:] = sacc
-            scomp_ref[:] = comp
             srel_ref[r, :, :] = sacc
-        return 0
+            u = cmu + r_new
+            lg = jnp.log(jnp.maximum(u / nma, 1e-30))
+        return (v_new, r_new, sacc, comp, lg, cm + one, cma + one,
+                cmu + one, nma + one, s1, c1)
 
-    jax.lax.fori_loop(0, rows, row_body, 0, unroll=False)
+    if with_srel:
+        st0 = (carry_ref[:], rcarry_ref[:], sacc_ref[:], scomp_ref[:],
+               lg_ref[:], cm0, cma0, cmu0, nma0, s1_ref[0], s1_ref[1])
+    else:
+        z = jnp.zeros((), dt)
+        zv = jnp.zeros((_FOLD, L), dt)
+        st0 = (carry_ref[:], rcarry_ref[:], zv, zv, zv, cm0, cma0, cmu0,
+               nma0, z, z)
+
+    def finish(st):
+        carry_ref[:], rcarry_ref[:] = st[:2]
+        if with_srel:
+            sacc_ref[:], scomp_ref[:], lg_ref[:] = st[2:5]
+            s1_ref[0] = st[9]
+            s1_ref[1] = st[10]
+
+    unroll = _UNROLL if rows % _UNROLL == 0 else 1
+
+    @pl.when(i * rows < m_max)
+    def _():
+        def body(rb, st):
+            for u in range(unroll):
+                st = row_full(rb * unroll + u, st)
+            return st
+        finish(jax.lax.fori_loop(0, rows // unroll, body, st0))
+
+    @pl.when(i * rows >= m_max)
+    def _():
+        def body(rb, st):
+            for u in range(unroll):
+                st = row_lean(rb * unroll + u, st)
+            return st
+        finish(jax.lax.fori_loop(0, rows // unroll, body, st0))
 
 
 @functools.partial(
@@ -398,13 +473,14 @@ def fill_table(a, n_max: int, m_max: int, row_block: int | None = None,
                                       memory_space=pltpu.VMEM))
         scratch += [pltpu.VMEM((_FOLD, L), dtype),
                     pltpu.VMEM((_FOLD, L), dtype),
-                    pltpu.VMEM((_FOLD, 128), dtype)]
+                    pltpu.VMEM((_FOLD, L), dtype),
+                    pltpu.SMEM((2,), dtype)]
         kernel = functools.partial(_kernel_folded, rows=rows, m_max=m_max,
                                    with_srel=True)
     else:
         def kernel(a_ref, v_ref, carry_ref, rcarry_ref):
             return _kernel_folded(a_ref, v_ref, None, carry_ref,
-                                  rcarry_ref, None, None, None,
+                                  rcarry_ref, None, None, None, None,
                                   rows=rows, m_max=m_max, with_srel=False)
 
     outs = pl.pallas_call(

@@ -96,6 +96,92 @@ def test_against_reference_binary_values():
         assert abs(m - 12.06) < 5 * se + 0.06, (name, m, se)
 
 
+def test_ti_blocked_group_is_equivalent(workload):
+    """Group-mode blocked TI is an exact reordering of the sequential
+    sweep: ensemble posterior means must agree within MC error."""
+    data, grid = workload
+    C = 256
+    a = jnp.full((C,), 0.5); b = jnp.full((C,), 1.0)
+    sched = pyp.ti_schedule(data, "group")
+    assert (sched >= 0).sum() == data.data_cat.size
+
+    def run(sweep_fn, key):
+        t, T = pyp.init_state(data, C)
+        Ts = []
+        for k in jax.random.split(key, 80):
+            t, T = sweep_fn(k, t, T)
+            Ts.append(np.asarray(T).sum(axis=1))
+        return np.asarray(Ts[40:])              # burn-in half
+
+    seq = run(lambda k, t, T: pyp.ti_sweep(k, t, T, a, b, grid, data),
+              jax.random.key(0))
+    par = run(lambda k, t, T: pyp.ti_sweep_blocked(
+        k, t, T, a, b, grid, data, sched=sched), jax.random.key(1))
+    ms, mp = seq.mean(), par.mean()
+    se = np.sqrt(seq.mean(0).std() ** 2 / seq.shape[1]
+                 + par.mean(0).std() ** 2 / par.shape[1])
+    assert abs(ms - mp) < 5 * se + 0.05, (ms, mp, se)
+
+
+def test_ti_blocked_cat_statistically_agrees(workload):
+    """Cat-mode blocked TI (block-start T within a step) must agree with
+    the sequential sweep on posterior means within MC error."""
+    data, grid = workload
+    C = 256
+    a = jnp.full((C,), 0.5); b = jnp.full((C,), 1.0)
+    sched = pyp.ti_schedule(data, "cat")
+
+    t, T = pyp.init_state(data, C)
+    Ts = []
+    for k in jax.random.split(jax.random.key(2), 80):
+        t, T = pyp.ti_sweep_blocked(k, t, T, a, b, grid, data, sched=sched)
+        Ts.append(np.asarray(T).sum(axis=1))
+    par = np.asarray(Ts[40:])
+    # state invariants survive scatter-adds
+    t_np, T_np = np.asarray(t), np.asarray(T)
+    assert (T_np == t_np.sum(axis=2)).all()
+    assert (t_np <= data.n[None]).all()
+
+    t, T = pyp.init_state(data, C)
+    Ts = []
+    for k in jax.random.split(jax.random.key(3), 80):
+        t, T = pyp.ti_sweep(k, t, T, a, b, grid, data)
+        Ts.append(np.asarray(T).sum(axis=1))
+    seq = np.asarray(Ts[40:])
+    ms, mp = seq.mean(), par.mean()
+    se = np.sqrt(seq.mean(0).std() ** 2 / seq.shape[1]
+                 + par.mean(0).std() ** 2 / par.shape[1])
+    assert abs(ms - mp) < 5 * se + 0.1, (ms, mp, se)
+
+
+def test_ctw_rel_matches_full_ct(workload):
+    """With a window covering every count, the relative-window CTW draws
+    from the same full conditional as CT: posterior means agree."""
+    data, grid = workload
+    C = 256
+    a = jnp.full((C,), 0.5); b = jnp.full((C,), 1.0)
+    tmax = int(data.n.max()) + 1
+
+    def run(sweep_fn, key):
+        t, T = pyp.init_state(data, C)
+        Ts = []
+        for k in jax.random.split(key, 60):
+            t, T = sweep_fn(k, t, T)
+            Ts.append(np.asarray(T).sum(axis=1))
+        return np.asarray(Ts[30:]), np.asarray(t), np.asarray(T)
+
+    ct, _, _ = run(lambda k, t, T: pyp.ct_sweep(
+        k, t, T, a, b, grid, data, tmax), jax.random.key(4))
+    ctw, t_np, T_np = run(lambda k, t, T: pyp.ctw_sweep_rel(
+        k, t, T, a, b, grid, data, window=tmax), jax.random.key(5))
+    assert (T_np == t_np.sum(axis=2)).all()
+    assert (t_np <= data.n[None]).all()
+    mc, mw = ct.mean(), ctw.mean()
+    se = np.sqrt(ct.mean(0).std() ** 2 / ct.shape[1]
+                 + ctw.mean(0).std() ** 2 / ctw.shape[1])
+    assert abs(mc - mw) < 5 * se + 0.05, (mc, mw, se)
+
+
 def test_hyper_sampling_in_loop(workload):
     data, grid = workload
     cfg = driver.GibbsConfig(iters=60, sampler="TI", acycle=2, bcycle=2,
@@ -106,6 +192,49 @@ def test_hyper_sampling_in_loop(workload):
     assert 0.01 <= bave <= 2000
     # posterior should have moved off the (arbitrary) inits
     assert np.isfinite(float(out["Tave_mean"].sum()))
+
+
+def test_run_gibbs_timed_ms_bounded(workload):
+    """check.c's '-C Nms' mode: the run stops on the wall-clock budget and
+    reports sane statistics (check.c:380-393, 1028-1054)."""
+    data, grid = workload
+    cfg = driver.GibbsConfig(iters=10 ** 6, sampler="CT", bcycle=2,
+                             acycle=2, scale=5.0)
+    out = driver.run_gibbs_timed(jax.random.key(0), data, grid, 16,
+                                 0.5, 1.0, cfg, iter_ms=400.0,
+                                 burnin_ms=100.0, chunk=8)
+    assert out["iters_done"] >= 8
+    assert out["iters_done"] < 10 ** 6          # the budget stopped it
+    assert out["burnin_done"] is not None
+    assert np.isfinite(float(out["Tave_mean"].sum()))
+    assert 0.01 <= float(out["aave_mean"]) <= 0.98
+    # count-bounded mode agrees with run_gibbs's posterior mean loosely
+    cfg2 = driver.GibbsConfig(iters=96, burnin=48, sampler="CT")
+    ref = driver.run_gibbs(jax.random.key(1), data, grid, 64, 0.5, 1.0,
+                           cfg2)
+    out2 = driver.run_gibbs_timed(jax.random.key(2), data, grid, 64,
+                                  0.5, 1.0, cfg2, chunk=16)
+    assert out2["iters_done"] == 96
+    np.testing.assert_allclose(float(out2["Tave_mean"].sum()),
+                               float(np.asarray(ref["Tave_mean"]).sum()),
+                               rtol=0.15)
+
+
+def test_base_distributions():
+    """The 4 base types of check.c:88-89 normalise and shape correctly."""
+    rng = np.random.default_rng(3)
+    for kind in ("uniform", "linear", "slowlinear", "dirichlet"):
+        H = pyp.base_distribution(kind, 10, b=2.0, rng=rng)
+        assert H.shape == (10,)
+        np.testing.assert_allclose(H.sum(), 1.0, rtol=1e-12)
+        assert (H > 0).all()
+    lin = pyp.base_distribution("linear", 10)
+    assert (np.diff(lin) < 0).all()             # ramp down
+    slow = pyp.base_distribution("slowlinear", 10)
+    assert slow[0] / slow[-1] < lin[0] / lin[-1]   # flatter ramp
+    data = pyp.crp_generate(0, 1, 10, 50, 0.5, 2.0,
+                            H=pyp.base_distribution("linear", 10))
+    assert data.n.sum() == 50
 
 
 def test_driver_grows_undersized_grid(workload):

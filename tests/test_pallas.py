@@ -94,12 +94,15 @@ def test_folded_srel_matches_f64(filled_single):
 
 def test_folded_matches_grid_kernel():
     """The folded single-table route must agree with the grid route --
-    same recurrence, different sublane layout."""
+    same recurrence, different sublane layout.  The folded kernel carries
+    the (n-1 - m a) coefficients incrementally and computes Srel via the
+    log-ratio form (see _kernel_folded docstring), so agreement is to a
+    few f32 ulps, not bit-exact."""
     vt1, sr1 = sp.fill_table(0.55, 96, 32, row_block=16, interpret=True)
     vt8, sr8 = sp.fill_grid(jnp.asarray([0.55], jnp.float32), 96, 32,
                             row_block=16, interpret=True)
     fin = np.isfinite(np.asarray(sr8[0]))
     np.testing.assert_allclose(np.asarray(vt1), np.asarray(vt8[0]),
-                               rtol=1e-6)
+                               rtol=1e-5)
     np.testing.assert_allclose(np.asarray(sr1)[fin], np.asarray(sr8[0])[fin],
                                rtol=1e-5, atol=1e-5)
