@@ -119,6 +119,57 @@ def single_table_throughput(oh: float, n: int = 1 << 20, m: int = 1024,
     return cells * 8 / dt, cells / dt
 
 
+def sweep_throughput(oh: float, chains: int = 32, sweeps: int = 4):
+    """Gibbs-sweep throughput at check.c scale (check.c:83 MAXDATA=1e5):
+    N = 100,000 items (100 groups x 1000), DIM = 20.  Measures the
+    relative-window CTW sweep (category-scan) and the blocked TI sweep
+    (cat-mode schedule) in item-updates/s (items x chains / s)."""
+    import numpy as np
+
+    from libstb_tpu import native
+    from libstb_tpu.core import stirling
+    from libstb_tpu.models import pyp
+
+    if native.available():
+        data = native.crp_generate(1, 100, 20, 1000, 0.5, 10.0)
+    else:
+        data = pyp.crp_generate(1, 20, 20, 500, 0.5, 10.0)
+    L = data.data_cat.size
+    n_max = int(data.n.max()) + 2
+    tab = stirling.make(n_max, min(n_max, 1024), n_max + 64,
+                        min(n_max, 1024) + 64, 0.5, use_asympt=True)
+    t0_, T0_ = pyp.init_state(data, chains)
+    a = jnp.full((chains,), 0.5, jnp.float32)
+    b = jnp.full((chains,), 10.0, jnp.float32)
+    sched = jnp.asarray(pyp.ti_schedule(data, "cat"))
+
+    def timed(fn):
+        @jax.jit
+        def run(key, t, T):
+            def body(carry, _):
+                t, T, key = carry
+                key, k = jax.random.split(key)
+                t, T = fn(k, t, T)
+                return (t, T, key), None
+            (t, T, _), _ = jax.lax.scan(body, (t, T, key), None,
+                                        length=sweeps)
+            return t, T
+        key = jax.random.key(0)
+        t, T = run(key, t0_, T0_)
+        _readback(T.astype(jnp.float32))
+        t0 = time.perf_counter()
+        t, T = run(key, t0_, T0_)
+        _readback(T.astype(jnp.float32))
+        dt = time.perf_counter() - t0 - oh
+        return chains * L * sweeps / dt
+
+    ctw = timed(lambda k, t, T: pyp.ctw_sweep_rel(
+        k, t, T, a, b, tab, data, window=10))
+    ti = timed(lambda k, t, T: pyp.ti_sweep_blocked(
+        k, t, T, a, b, tab, data, sched=sched))
+    return L, ctw, ti
+
+
 def sampler_throughput(oh: float, chains: int = 4096, iters: int = 32):
     """Joint (a,b) posterior samples/s on the demo workload."""
     from libstb_tpu.core import agrid
@@ -178,6 +229,13 @@ def main():
     except Exception as e:                      # keep the contract line
         print(f"sampler bench failed: {e}", file=sys.stderr)
         sps = float("nan")
+    try:
+        L, ctw_ips, ti_ips = sweep_throughput(oh)
+        print(f"# sweep scale (N={L} items, 32 chains): CTW(rel,w=10) "
+              f"{ctw_ips:.3g} item-updates/s; blocked TI {ti_ips:.3g} "
+              f"item-updates/s", file=sys.stderr)
+    except Exception as e:
+        print(f"sweep bench failed: {e!r}", file=sys.stderr)
 
     target = 0.8 * bw
     print(f"# copy roofline: {bw/1e9:.0f} GB/s; fill: {fill_bps/1e9:.0f} "

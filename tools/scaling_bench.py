@@ -85,8 +85,19 @@ def main():
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--chains-per-dev", type=int, default=128)
     p.add_argument("--write-md", action="store_true")
+    p.add_argument("--cpu", type=int, default=0, metavar="N",
+                   help="force an N-device virtual CPU mesh (the axon "
+                        "sitecustomize pins JAX_PLATFORMS, so env vars "
+                        "alone are not enough)")
     args = p.parse_args()
 
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu}")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        args.devices = args.devices or args.cpu
     import jax
     n = args.devices or len(jax.devices())
     r1 = measure(1, args.iters, args.chains_per_dev)
