@@ -27,12 +27,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def _ms_arg(val):
+def _ms_arg(val, name="-C", allow_zero=True):
     """check.c's '-C 200' vs '-C 200ms' convention."""
     s = str(val)
     if s.endswith("ms"):
-        return None, float(s[:-2])
-    return int(s), None
+        ms = float(s[:-2])
+        if ms <= 0:
+            raise SystemExit(f"check: {name} {s}: budget must be > 0")
+        return None, ms
+    n = int(s)
+    if n < 0 or (n == 0 and not allow_zero):
+        raise SystemExit(f"check: {name} {s}: count must be positive")
+    return n, None
 
 
 def main():
@@ -73,8 +79,8 @@ def main():
     data = pyp.crp_generate(args.s, 1, args.dim, args.N, args.a, args.b,
                             H=H)
     T_true = int((data.n > 0).sum())
-    iters, iter_ms = _ms_arg(args.C)
-    burnin, burnin_ms = _ms_arg(args.B)
+    iters, iter_ms = _ms_arg(args.C, "-C", allow_zero=False)
+    burnin, burnin_ms = _ms_arg(args.B, "-B")
     print(f"data: N={args.N} dim={args.dim} a={args.a} b={args.b} "
           f"base={args.base} T_init={T_true} "
           f"backend={jax.default_backend()} kernel={kernel}")
@@ -93,10 +99,36 @@ def main():
         for r in range(args.R):
             t0 = time.time()
             if name == "SA":
-                out = sa.sa_run(data, iters or 300, args.a, args.b,
-                                burnin=burnin or None, seed=args.s + r)
+                if iter_ms or burnin_ms:
+                    # wall-clock budget: time-bounded sweep loop (the SA
+                    # analog of check.c's '-C Nms' mode)
+                    rng = np.random.default_rng(args.s + r)
+                    st = sa.sa_init(data)
+                    tsum = np.zeros_like(st.T, np.float64)
+                    kept = 0
+                    done = 0
+                    tstart = time.time()
+                    while True:
+                        sa.sa_sweep(rng, st, args.a, args.b)
+                        done += 1
+                        el = (time.time() - tstart) * 1e3
+                        in_burn = (el <= burnin_ms if burnin_ms
+                                   else done <= (burnin or 0))
+                        if not in_burn:
+                            tsum += st.T
+                            kept += 1
+                        if iter_ms and el > iter_ms:
+                            break
+                        if not iter_ms and done >= (iters or 300):
+                            break
+                    out = {"Tave": tsum / max(kept, 1),
+                           "iters_done": done,
+                           "elapsed_ms": (time.time() - tstart) * 1e3}
+                else:
+                    out = sa.sa_run(data, iters or 300, args.a, args.b,
+                                    burnin=burnin or None, seed=args.s + r)
                 Tm = float(out["Tave"].sum())
-                am, bm = args.a, args.b
+                am = bm = None     # SA never hyper-samples (check.c SA row)
             else:
                 cfg = driver.GibbsConfig(
                     iters=iters or 300, burnin=burnin or 0,
@@ -123,10 +155,12 @@ def main():
         line = (f"  {name:4s}: E[T] = {Ts.mean():8.4f} +- {se:.4f}   "
                 f"({np.mean(secs)*1e3:.0f} ms/run)")
         if args.acycle:
-            line += f"  E[a]={np.mean(as_):.4f}"
+            line += ("  E[a]=-" if as_[0] is None
+                     else f"  E[a]={np.mean(as_):.4f}")
         if args.bcycle:
-            line += f"  E[b]={np.mean(bs):.4f}"
-        if iter_ms and name != "SA":
+            line += ("  E[b]=-" if bs[0] is None
+                     else f"  E[b]={np.mean(bs):.4f}")
+        if iter_ms:
             line += f"  [{out['iters_done']} iters in {out['elapsed_ms']:.0f}ms]"
         print(line)
 

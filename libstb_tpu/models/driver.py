@@ -95,17 +95,21 @@ def run_gibbs_timed(key, data: pyp.PYPData, grid: agrid.AGridTable,
     starting after S_make.  Returns run_gibbs-style statistics plus
     ``iters_done``/``burnin_done``.
     """
+    import math
     import time
 
     n_req, m_req = agrid.required_dims(data.n)
     grid = agrid.ensure_grid(grid, n_req, m_req,
                              quit_on_bound=cfg.quit_on_bound)
     dt = grid.srel.dtype
-    # align the chunk so in-chunk cycle phases match the global schedule
-    for cyc in (cfg.bcycle, cfg.acycle):
-        if cyc > 0:
-            while chunk % cyc:
-                chunk += 1
+    # align the chunk so in-chunk cycle phases match the global schedule:
+    # round up to lcm(bcycle, acycle) (check.c's ITER adjustment,
+    # check.c:436-440) -- sequential per-cycle rounding could break the
+    # first alignment while fixing the second
+    cycles = [c for c in (cfg.bcycle, cfg.acycle) if c > 0]
+    if cycles:
+        period = math.lcm(*cycles)
+        chunk = math.ceil(chunk / period) * period
     t, T = pyp.init_state(data, chains)
     hsa = cfg.sampler.upper() == "HSA"
     hist = pyp.init_hsa(data, chains)[0] if hsa else None
@@ -115,9 +119,11 @@ def run_gibbs_timed(key, data: pyp.PYPData, grid: agrid.AGridTable,
     ccfg = dataclasses.replace(cfg, iters=chunk, burnin=0,
                                collect_traces=False)
 
-    def one_chunk(key, t, T, hist, a, b):
+    def one_chunk(key, t, T, hist, a, b, iters=None):
+        c = ccfg if iters is None or iters == chunk else (
+            dataclasses.replace(ccfg, iters=iters))
         out = _run_gibbs_jit(key, data, grid, t, T, hist, a, b,
-                             chains=chains, cfg=ccfg, tmax=tmax, burnin=0)
+                             chains=chains, cfg=c, tmax=tmax, burnin=0)
         st = out["hist"] if hsa else out["t"]
         return out, st, out["T"], out["a"], out["b"]
 
@@ -134,32 +140,38 @@ def run_gibbs_timed(key, data: pyp.PYPData, grid: agrid.AGridTable,
     max_iters = cfg.iters if iter_ms is None else 10 ** 9
     burnin = cfg.resolved_burnin() if burnin_ms is None else None
     while done < max_iters:
+        # count mode: clamp the last chunk so iters_done == cfg.iters
+        # (one extra compile only when iters % chunk != 0)
+        step_iters = chunk if iter_ms is not None else min(
+            chunk, max_iters - done)
         key, kc = jax.random.split(key)
-        out, st, T, a, b = one_chunk(kc, t, T, hist, a, b)
+        out, st, T, a, b = one_chunk(kc, t, T, hist, a, b, step_iters)
         if hsa:
             hist, t = st, out["t"]
         else:
             t = st
         jax.block_until_ready(out["Tave"])
-        done += chunk
+        done += step_iters
         el_ms = (time.perf_counter() - start) * 1e3
         in_burn = (el_ms <= burnin_ms if burnin_ms is not None
                    else done <= burnin)
         if not in_burn:
             if burnin_done is None:
-                burnin_done = done - chunk
-            vals = [np.asarray(out[k]) for k in
+                burnin_done = done - step_iters
+            # out[*ave] are per-chunk means: weight by chunk size so a
+            # clamped final chunk doesn't skew the global average
+            vals = [np.asarray(out[k]) * step_iters for k in
                     ("tave", "Tave", "aave", "bave")]
             sums = vals if sums is None else [s + v for s, v in
                                               zip(sums, vals)]
-            kept += 1
+            kept += step_iters
         if iter_ms is not None and el_ms > iter_ms:
             break
     if sums is None:         # budget exhausted inside burn-in
         sums = [np.asarray(out[k]) for k in ("tave", "Tave", "aave",
                                              "bave")]
         kept = 1
-        burnin_done = done - chunk
+        burnin_done = done - step_iters
     tave, Tave, aave, bave = [s / kept for s in sums]
     return dict(tave=tave, Tave=Tave, aave=aave, bave=bave,
                 tave_mean=tave.mean(axis=0), Tave_mean=Tave.mean(axis=0),

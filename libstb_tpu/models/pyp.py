@@ -30,6 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import agrid, stirling
+from ..utils import yaps
+
+_warned_cat_mode = False
 
 __all__ = ["crp_generate", "base_distribution", "init_state", "init_hsa",
            "ti_sweep", "ti_schedule", "ti_sweep_blocked", "ct_sweep",
@@ -218,7 +221,11 @@ def ti_schedule(data: PYPData, mode: str = "group") -> np.ndarray:
     size.  mode="cat": step s holds the s-th occurrence of every (group,
     category) pair -- W = #occupied pairs, S = max category count; within
     a step the (b + T a) factor reads the block-start group total (see
-    ti_sweep_blocked).
+    ti_sweep_blocked).  Because of that lag, cat mode's stationary
+    distribution is only APPROXIMATELY the posterior: it is a throughput
+    kernel, never the default anywhere correctness is asserted (acceptance
+    gates and the driver use the exact sweeps), and selecting it warns
+    once.
     """
     grp = np.asarray(data.data_grp)
     cat = np.asarray(data.data_cat)
@@ -226,6 +233,14 @@ def ti_schedule(data: PYPData, mode: str = "group") -> np.ndarray:
     if mode == "group":
         keys = grp.astype(np.int64)
     elif mode == "cat":
+        global _warned_cat_mode
+        if not _warned_cat_mode:
+            _warned_cat_mode = True
+            yaps.message(
+                "ti_schedule(mode='cat'): within-step siblings read the "
+                "block-start group total T -- an approximate kernel; do "
+                "not use for acceptance runs (use mode='group' or "
+                "ti_sweep)")
         D = data.n.shape[1]
         pair = grp.astype(np.int64) * D + cat
         uniq, keys = np.unique(pair, return_inverse=True)

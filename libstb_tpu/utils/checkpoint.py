@@ -42,11 +42,24 @@ def save(path: str, state: Any, meta: Optional[dict] = None) -> str:
                 arrs[f"leaf{i}__key"] = np.asarray(jax.random.key_data(leaf))
                 continue
             if not leaf.is_fully_addressable:
-                # keep only this process's shards (reassembled on load by
-                # the caller re-sharding with parallel.mesh)
-                shards = sorted(leaf.addressable_shards,
-                                key=lambda s: s.index)
-                leaf = np.concatenate([np.asarray(s.data) for s in shards])
+                # keep only this process's UNIQUE shards (reassembled on
+                # load by the caller re-sharding with parallel.mesh).
+                # Dedup by shard index: a leaf replicated over any mesh
+                # axis yields one identical shard per local device, and
+                # naively concatenating them would silently stack copies.
+                uniq = {}
+                for s in leaf.addressable_shards:
+                    k = tuple((sl.start if sl.start is not None else 0,
+                               sl.stop if sl.stop is not None else -1)
+                              for sl in s.index)
+                    uniq.setdefault(k, s.data)
+                if len(uniq) == 1:
+                    # fully replicated (or one distinct shard): save the
+                    # single copy as-is
+                    leaf = np.asarray(next(iter(uniq.values())))
+                else:
+                    leaf = np.concatenate(
+                        [np.asarray(v) for _, v in sorted(uniq.items())])
             else:
                 leaf = np.asarray(jax.device_get(leaf))
         arrs[f"leaf{i}"] = np.asarray(leaf)
