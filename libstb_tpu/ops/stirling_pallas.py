@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fill_grid", "fill_table", "available"]
+__all__ = ["fill_grid", "fill_table", "fill_table_cols", "unfold_cols",
+           "scan_pos", "available"]
 
 
 def available() -> bool:
@@ -507,3 +508,304 @@ def fill_table(a, n_max: int, m_max: int, row_block: int | None = None,
     vtab = vtab.reshape(n_pad, m_max)[:n_max]
     srel = srel.reshape(n_pad, m_max)[:n_max] if srel is not None else None
     return vtab, srel
+
+
+# ---------------------------------------------------------------------------
+# Column-sequential fill with a chunked parallel scan over n
+# (the n=10^6 single-table kernel, v2)
+# ---------------------------------------------------------------------------
+#
+# The folded row kernel above walks n sequentially: ~10^6 dependent row
+# steps whose divide/roll chain costs ~100 ns each, capping a 2^20-row
+# fill at ~12% of the HBM roofline (BENCH_r02) no matter how lean the
+# body gets.  This kernel flips the axes.  Given column m-1, the ratio
+# recurrence along n for column m (stable.c:475-482),
+#
+#     V(n, m) = (1 + (n-1 - m a) V(n-1, m))
+#               / (1/V(n-1, m-1) + (n-1 - (m-1) a)),
+#
+# is AFFINE in the unknown column:  V(n) = A_n V(n-1) + B_n  with
+#
+#     B_n = 1 / (1/V(n-1, m-1) + c1) = vL / (1 + c1 vL),   vL = V(n-1, m-1)
+#     A_n = c2 B_n,     c1 = n-1 - (m-1) a,   c2 = n-1 - m a.
+#
+# Affine maps compose associatively, so one column is a parallel prefix:
+# the N rows split into C contiguous chunks of H = N/C rows laid out as
+# an (H, S, 128) VMEM slab with chunk = sublane*128 + lane and h the
+# sequential axis.  Three phases per column:
+#
+#   pass 1: compose each chunk's H maps -> (S, 128) chunk maps.  All C
+#           chunks advance per h step (S/8 vregs of independent FMA
+#           chains -- the latency the row walk serialized is now hidden
+#           by chunk-level ILP);
+#   pass 2: Hillis-Steele compose-scan over the C chunk maps in linear
+#           (sublane, lane) order (log2 C masked roll steps) -> the
+#           V value entering each chunk;
+#   pass 3: replay each chunk's rows applying v = A v + B, emitting V,
+#           log-S, and the NEXT column's (A, B) from the in-register
+#           v(n-1) -- so the left-column shift never touches memory.
+#
+# Srel comes out even better than in the row kernels: since
+# Srel(n, m) = Srel(n, m-1) + log V(n, m), the log-S accumulation runs
+# ALONG m -- M ~ 10^3 Kahan-compensated adds per row instead of the row
+# walk's 10^6 -- and the m=1 column is exactly 0, no S1 carry needed.
+#
+# Diagonal/sentinel algebra (all automatic, no masks in steady state):
+# column m=1 carries vL = 1e30 (a finite stand-in for the +inf sentinel:
+# B = 1e30/(1 + c1 1e30) rounds to 1/c1 in f32 for any |c1| < 1e7);
+# rows above the diagonal have vL = 0 -> (A, B) = (0, 0), which both
+# zeroes V(n<m) exactly and resets the prefix scan at the diagonal; the
+# only forced cells are row n=1 (maps (0,0) for m >= 2), applied at the
+# h=0 special step of each pass, off the steady-state path.
+#
+# Layout: the scan produces rows in (h, chunk) order, so outputs are
+# stored COLUMN-MAJOR and n-permuted: out[m-1, h, s, l] holds row
+# r = n-1 = (s*128 + l) * H + h.  Any bijective layout serves the
+# table's random (n, m) gathers equally (the reference itself packs
+# triangular blocks, stable.c:160-233); scan_pos() maps a natural row
+# to its slot and unfold_cols() unpermutes for oracle tests.
+
+_SCAN_C = 4096          # chunks = (32 sublanes) x (128 lanes)
+_VBIG = 1e30            # finite stand-in for the V(n,1) = +inf sentinel
+
+
+def scan_pos(i, n_pad: int, chunks: int):
+    """Flat position of natural 0-based row ``i`` in a fill_table_cols
+    column: i = c*H + h is stored at h*C + c."""
+    h = n_pad // chunks
+    return (i % h) * chunks + (i // h)
+
+
+def unfold_cols(tab, n_max: int, chunks: int):
+    """(M, n_pad) column-major permuted table -> natural (n_max, M)."""
+    m, n_pad = tab.shape
+    h = n_pad // chunks
+    return tab.reshape(m, h, chunks).transpose(2, 1, 0).reshape(n_pad, m)[
+        :n_max]
+
+
+def _lin_shift(x, k: int, sub, lane):
+    """out[c] = x[c - k] over the linearized (sublane, lane) chunk order;
+    entries with c < k are garbage (callers mask on c >= k)."""
+    del sub
+    s = x.shape[0]
+    if k % 128 == 0:
+        return pltpu.roll(x, k // 128, 0)
+    y = pltpu.roll(x, k % 128, 1)
+    if s > 1:
+        y2 = pltpu.roll(y, 1 + k // 128, 0)
+    else:
+        y2 = y
+    return jnp.where(lane < (k % 128), y2, y)
+
+
+def _kernel_cols(a_ref, v_ref, srel_ref, carry_a, carry_b, sacc_ref,
+                 scomp_ref, *, h_len: int, s_sub: int, with_srel: bool,
+                 kahan: bool):
+    """One grid step = one column m = j+1 for all n at once.
+
+    a_ref: (1,) SMEM, the discount.
+    v_ref/srel_ref: (1, H, S, 128) output blocks for V and Srel.
+    carry_a/carry_b: (H, S, 128) scratch holding this column's affine
+    maps; overwritten with column j+1's maps during pass 3.
+    sacc_ref/scomp_ref: (H, S, 128) Kahan pair accumulating Srel along m.
+    """
+    j = pl.program_id(0)
+    dt = carry_a.dtype
+    H, S, L = h_len, s_sub, 128
+    a0 = a_ref[0]
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
+    cidx = sub2 * L + lane2                      # chunk index (S, L)
+    c0mask = cidx == 0                           # chunk 0 <-> rows 0..H-1
+
+    def srel_step(h, lg):
+        """Kahan (or plain) add of log V into the along-m accumulator;
+        -inf above the diagonal propagates with the compensation zeroed
+        so it never turns NaN."""
+        if kahan:
+            comp = scomp_ref[h]
+            y = lg - comp
+            t = sacc_ref[h] + y
+            scomp_ref[h] = jnp.where(jnp.isfinite(t),
+                                     (t - sacc_ref[h]) - y, 0.0)
+        else:
+            t = sacc_ref[h] + lg
+        sacc_ref[h] = t
+        srel_ref[0, h] = t
+
+    @pl.when(j == 0)
+    def _():
+        # column m=1: V = +inf sentinel, Srel = 0; prepare column m=2's
+        # affine maps in closed form: B = 1/(r - a), A = (r - 2a) B.
+        # (NOT via the B = vL/(1 + c vL) route with a huge-vL sentinel:
+        # the TPU divide loses ~2 digits at extreme exponents -- measured
+        # 1.6e-5 relerr for 1e30/(1+c 1e30) vs 1.2e-7 for 1/c -- and the
+        # m=2 column contracts so weakly that a systematic map bias
+        # amplifies ~n-fold, to 1e-2 by n=8192.)
+        hh = jax.lax.broadcasted_iota(jnp.int32, (H, S, L), 0)
+        cc = (jax.lax.broadcasted_iota(jnp.int32, (H, S, L), 1) * L
+              + jax.lax.broadcasted_iota(jnp.int32, (H, S, L), 2))
+        rvec = (cc * H + hh).astype(dt)          # global row r = n-1
+        c1 = rvec - a0                           # r - (m-1) a at m = 2
+        bb = 1.0 / c1                            # row 0 junk: forced at use
+        carry_a[:] = (c1 - a0) * bb
+        carry_b[:] = bb
+        v_ref[0] = jnp.full((H, S, L), jnp.inf, dt)
+        if with_srel:
+            sacc_ref[:] = jnp.zeros((H, S, L), dt)
+            if kahan:
+                scomp_ref[:] = jnp.zeros((H, S, L), dt)
+            srel_ref[0] = jnp.zeros((H, S, L), dt)
+
+    @pl.when(j > 0)
+    def _():
+        jf = j.astype(dt)
+        # manual unroll (Mosaic forbids partial fori unroll): blocks of u
+        # rows; the h=0 row-0 forcing is folded into block 0, run outside
+        # the fori so the loop body stays uniform
+        u = _UNROLL if H % _UNROLL == 0 and H > _UNROLL else 1
+        nblk = H // u
+
+        # ---- pass 1: per-chunk composition of the H affine maps -------
+        # row n=1 (r=0 = chunk 0, h 0): forced map (0,0) -> V(1, m>=2)=0,
+        # applied at consumption so the steady-state loop stays unmasked
+        aacc = jnp.where(c0mask, 0.0, carry_a[0])
+        bacc = jnp.where(c0mask, 0.0, carry_b[0])
+        for q in range(1, u):
+            ah = carry_a[q]
+            aacc, bacc = ah * aacc, ah * bacc + carry_b[q]
+
+        def compose(i, st):
+            acc_a, acc_b = st
+            for q in range(u):
+                h = i * u + q
+                ah = carry_a[h]
+                acc_a, acc_b = ah * acc_a, ah * acc_b + carry_b[h]
+            return acc_a, acc_b
+
+        aacc, bacc = jax.lax.fori_loop(1, nblk, compose, (aacc, bacc))
+        # ---- pass 2: compose-scan over chunk maps (linear chunk order)
+        k = 1
+        while k < S * L:
+            a_s = _lin_shift(aacc, k, sub2, lane2)
+            b_s = _lin_shift(bacc, k, sub2, lane2)
+            ok = cidx >= k
+            aacc, bacc = (jnp.where(ok, aacc * a_s, aacc),
+                          jnp.where(ok, aacc * b_s + bacc, bacc))
+            k *= 2
+        # carry INTO chunk c = inclusive map of chunks < c applied to
+        # v(row -1) = 0  ->  just the exclusive-scan B
+        v_in = jnp.where(c0mask, 0.0, _lin_shift(bacc, 1, sub2, lane2))
+
+        # ---- pass 3: replay rows; emit V, Srel, and column j+1's maps.
+        # Next column m' = j+2 at row r needs c1' = r - (j+1) a and the
+        # left value V(r-1, j+1) -- which is exactly the replay register.
+        c_h = (cidx * H).astype(dt)              # chunk-start row r
+        c1n0 = c_h - (jf + 1.0) * a0
+
+        def emit(h, v_prev, v_new, c1n):
+            v_ref[0, h] = v_new
+            bb = v_prev / (1.0 + c1n * v_prev)
+            carry_a[h] = (c1n - a0) * bb
+            carry_b[h] = bb
+            if with_srel:
+                srel_step(h, jnp.log(v_new))
+
+        def one_row(h, v, c1n):
+            v_new = carry_a[h] * v + carry_b[h]
+            emit(h, v, v_new, c1n)
+            return v_new, c1n + 1.0
+
+        def replay(i, st):
+            v, c1n = st
+            for q in range(u):
+                v, c1n = one_row(i * u + q, v, c1n)
+            return v, c1n
+
+        # h = 0: row-0 forcing at consumption (same mask as pass 1)
+        a0m = jnp.where(c0mask, 0.0, carry_a[0])
+        b0m = jnp.where(c0mask, 0.0, carry_b[0])
+        v0 = a0m * v_in + b0m
+        emit(0, v_in, v0, c1n0)
+        v, c1n = v0, c1n0 + 1.0
+        for q in range(1, u):
+            v, c1n = one_row(q, v, c1n)
+        jax.lax.fori_loop(1, nblk, replay, (v, c1n))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_max", "m_max", "chunks", "with_srel", "kahan",
+                     "dtype", "interpret"))
+def fill_table_cols(a, n_max: int, m_max: int, chunks: int = _SCAN_C,
+                    with_srel: bool = True, kahan: bool = True,
+                    dtype=jnp.float32, interpret: bool = False):
+    """Fill ONE table at discount ``a`` by the column-sequential chunked
+    parallel scan (see the block comment above).
+
+    Returns (vtab, srel, n_pad): arrays of shape (m_max, n_pad) in the
+    COLUMN-MAJOR, n-permuted layout -- natural row i lives at flat
+    position scan_pos(i, n_pad, chunks); unfold_cols() restores the
+    (n, m) layout.  ``chunks`` must be a multiple of 128 (the lane
+    count); n is padded to a multiple of it.  f32 row indexing limits
+    n_max to < 2^24.
+    """
+    if chunks % 128:
+        raise ValueError(f"chunks={chunks} must be a multiple of 128")
+    if n_max >= (1 << 24):
+        raise ValueError("fill_table_cols: n_max must be < 2^24 (f32 row "
+                         "index exactness)")
+    S = chunks // 128
+    H = pl.cdiv(n_max, chunks)
+    n_pad = H * chunks
+    a = jnp.asarray(a, dtype).reshape(1)
+
+    out_shape = [jax.ShapeDtypeStruct((m_max, H, S, 128), dtype)]
+    out_specs = [pl.BlockSpec((1, H, S, 128), lambda j: (j, 0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    scratch = [pltpu.VMEM((H, S, 128), dtype), pltpu.VMEM((H, S, 128), dtype)]
+    if with_srel:
+        out_shape.append(jax.ShapeDtypeStruct((m_max, H, S, 128), dtype))
+        out_specs.append(pl.BlockSpec((1, H, S, 128), lambda j: (j, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        scratch.append(pltpu.VMEM((H, S, 128), dtype))
+        if kahan:
+            scratch.append(pltpu.VMEM((H, S, 128), dtype))
+        kernel = functools.partial(_kernel_cols, h_len=H, s_sub=S,
+                                   with_srel=True, kahan=kahan)
+        if not kahan:
+            def kernel(a_ref, v_ref, srel_ref, ca, cb, sa):      # noqa: F811
+                return _kernel_cols(a_ref, v_ref, srel_ref, ca, cb, sa,
+                                    None, h_len=H, s_sub=S,
+                                    with_srel=True, kahan=False)
+    else:
+        def kernel(a_ref, v_ref, ca, cb):
+            return _kernel_cols(a_ref, v_ref, None, ca, cb, None, None,
+                                h_len=H, s_sub=S, with_srel=False,
+                                kahan=False)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(m_max,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=out_specs if with_srel else out_specs[0],
+        out_shape=out_shape if with_srel else out_shape[0],
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=24 * m_max * n_pad,
+            bytes_accessed=(2 if with_srel else 1) * 4 * m_max * n_pad,
+            transcendentals=(m_max * n_pad) if with_srel else 0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(a)
+
+    if with_srel:
+        vtab, srel = outs
+    else:
+        vtab, srel = outs, None
+    vtab = vtab.reshape(m_max, n_pad)
+    srel = srel.reshape(m_max, n_pad) if srel is not None else None
+    return vtab, srel, n_pad
