@@ -121,6 +121,13 @@ def main():
                             break
                         if not iter_ms and done >= (iters or 300):
                             break
+                    if kept == 0:
+                        # budget exhausted inside burn-in: fall back to the
+                        # last sweep's state (run_gibbs_timed does the same)
+                        print("check: SA budget exhausted in burn-in; "
+                              "reporting last-sweep T", file=sys.stderr)
+                        tsum = st.T.astype(np.float64)
+                        kept = 1
                     out = {"Tave": tsum / max(kept, 1),
                            "iters_done": done,
                            "elapsed_ms": (time.time() - tstart) * 1e3}

@@ -135,6 +135,7 @@ def run_gibbs_timed(key, data: pyp.PYPData, grid: agrid.AGridTable,
     sums = None
     kept = 0
     done = 0
+    step_iters = chunk          # loop may not run at all (cfg.iters == 0)
     burnin_done = None
     start = time.perf_counter()
     max_iters = cfg.iters if iter_ms is None else 10 ** 9

@@ -594,6 +594,10 @@ def _lin_shift(x, k: int, sub, lane):
     y = pltpu.roll(x, k % 128, 1)
     if s > 1:
         y2 = pltpu.roll(y, 1 + k // 128, 0)
+        # lanes that did NOT wrap around still need the whole-sublane part
+        # of the shift when k > 128
+        if k // 128 > 0:
+            y = pltpu.roll(y, k // 128, 0)
     else:
         y2 = y
     return jnp.where(lane < (k % 128), y2, y)

@@ -106,3 +106,75 @@ def test_folded_matches_grid_kernel():
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(sr1)[fin], np.asarray(sr8[0])[fin],
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Column-sequential chunked-parallel-scan kernel (fill_table_cols)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("a,N,M,chunks", [
+    (0.4321, 200, 64, 128),     # N not a multiple of chunks
+    (0.55, 512, 48, 256),       # two sublanes of chunks
+    (0.05, 384, 32, 128),       # small discount
+    (0.0, 256, 24, 128),        # a == 0 (DP limit)
+])
+def test_cols_matches_f64(a, N, M, chunks):
+    vt_p, sr_p, n_pad = sp.fill_table_cols(a, N, M, chunks=chunks,
+                                           interpret=True)
+    vt = np.asarray(sp.unfold_cols(vt_p, N, chunks))
+    sr = np.asarray(sp.unfold_cols(sr_p, N, chunks))
+    v64, s64, _ = stirling.fill_rows(a, N, M, dtype=jnp.float64)
+    v64 = np.asarray(v64); s64 = np.asarray(s64)
+    fin = np.isfinite(v64) & (v64 != 0)
+    np.testing.assert_allclose(vt[fin], v64[fin], rtol=3e-5,
+                               err_msg=f"a={a}")
+    finS = np.isfinite(s64)
+    # scaled tolerance: the along-m accumulation inherits XLA's f32 log
+    # accuracy (~1e-4 relative; see .claude/skills/verify gotchas) -- the
+    # tight absolute accuracy claim is measured on-device against the
+    # long-double oracle instead (test_native / BASELINE notes)
+    err = np.abs(sr[finS] - s64[finS]) / np.maximum(1.0, np.abs(s64[finS]))
+    assert np.max(err) < 1e-4, f"a={a}"
+    # above-diagonal cells: V == 0 exactly (the affine-map reset), srel -inf
+    above = ~np.isfinite(s64)
+    np.testing.assert_array_equal(vt[above], 0.0)
+    assert np.all(np.isneginf(sr[above]))
+
+
+def test_cols_scan_pos_layout():
+    """tab_perm[j, scan_pos(i)] must equal the unfolded natural [i, j]."""
+    N, M, chunks = 200, 16, 128
+    vt_p, _, n_pad = sp.fill_table_cols(0.3, N, M, chunks=chunks,
+                                        interpret=True)
+    vt = np.asarray(sp.unfold_cols(vt_p, N, chunks))
+    vt_p = np.asarray(vt_p)
+    for i in (0, 1, 5, 127, 128, 199):
+        pos = sp.scan_pos(i, n_pad, chunks)
+        np.testing.assert_array_equal(vt_p[:, pos], vt[i, :])
+
+
+def test_cols_diagonal_is_minus_s1():
+    """srel(n, n) = -S1(n): the along-m accumulation of log V must hit the
+    exact diagonal identity (sum_{j=2..n} log V(n,j) = -S1(n))."""
+    N, M, chunks = 256, 48, 128
+    _, sr_p, _ = sp.fill_table_cols(0.4321, N, M, chunks=chunks,
+                                    interpret=True)
+    sr = np.asarray(sp.unfold_cols(sr_p, N, chunks))
+    s1 = stirling.s1_host(0.4321, M)
+    diag = np.array([sr[n - 1, n - 1] for n in range(2, M + 1)])
+    np.testing.assert_allclose(diag, -s1[1:], atol=5e-4)
+
+
+def test_cols_nokahan_and_nosrel():
+    vt_p, sr_p, _ = sp.fill_table_cols(0.5, 256, 32, chunks=128,
+                                       kahan=False, interpret=True)
+    _, s64, _ = stirling.fill_rows(0.5, 256, 32, dtype=jnp.float64)
+    sr = np.asarray(sp.unfold_cols(sr_p, 256, 128))
+    s64 = np.asarray(s64)
+    fin = np.isfinite(s64)
+    assert np.max(np.abs(sr[fin] - s64[fin])) < 2e-3   # plain f32 sum
+    vt_only, none_sr, _ = sp.fill_table_cols(0.5, 256, 32, chunks=128,
+                                             with_srel=False, interpret=True)
+    assert none_sr is None
+    np.testing.assert_allclose(np.asarray(vt_only), np.asarray(vt_p),
+                               rtol=1e-6)
