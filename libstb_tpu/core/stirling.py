@@ -211,6 +211,17 @@ class StirlingTable:
     ``s1_hi + s1_lo`` reconstructs the f64 S1 on f32 backends (the
     capability of the reference's double frontier, stable.h:82-90, applied
     to the only column whose absolute magnitude matters).
+
+    Two storage layouts (the reference itself packs non-rectangular
+    triangular blocks, stable.c:160-233 -- any bijective layout serves
+    the point gathers the samplers make):
+
+    * ``scan_chunks == 0``: natural (N, M) row-major arrays.
+    * ``scan_chunks  > 0``: vtab/srel are (M, n_pad) column-major and
+      n-permuted as produced by ops/stirling_pallas.fill_table_cols (the
+      fast single-table fill; natural row i lives at flat position
+      ``scan_pos(i)``); queries remap indices, so lookups cost the same
+      gather either way and the fill avoids a whole-table transpose.
     """
     a: jax.Array               # scalar, the discount
     lga1: jax.Array            # scalar, lgamma(1-a)
@@ -223,6 +234,18 @@ class StirlingTable:
     max_n: int = dataclasses.field(metadata=dict(static=True))   # hard bound (maxN)
     max_m: int = dataclasses.field(metadata=dict(static=True))   # hard bound (maxM)
     use_asympt: bool = dataclasses.field(metadata=dict(static=True))
+    # column-scan layout: 0 = natural (N, M); >0 = (M, n_pad) permuted
+    scan_chunks: int = dataclasses.field(default=0,
+                                         metadata=dict(static=True))
+    n_pad: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    def _cell(self, tab, i, j):
+        """tab[natural row i, natural col j] under either layout."""
+        if self.scan_chunks:
+            h = self.n_pad // self.scan_chunks
+            pos = (i % h) * self.scan_chunks + i // h
+            return tab[j, pos]
+        return tab[i, j]
 
     # -- queries ------------------------------------------------------------
     def S1(self, n):
@@ -251,7 +274,7 @@ class StirlingTable:
         j = jnp.clip(m - 1, 0, self.m_max - 1)
         in_tab = (n >= 1) & (n <= self.n_max) & (m >= 1) & (m <= self.m_max)
         if self.srel is not None:
-            body = (self.s1_hi[i] + self.srel[i, j]) + self.s1_lo[i]
+            body = (self.s1_hi[i] + self._cell(self.srel, i, j)) + self.s1_lo[i]
         else:
             body = jnp.full(jnp.broadcast_shapes(n.shape, m.shape), -jnp.inf, dt)
         if self.use_asympt:
@@ -273,7 +296,7 @@ class StirlingTable:
         dt = self.s1_hi.dtype
         i = jnp.clip(n - 1, 0, self.n_max - 1)
         j = jnp.clip(m - 1, 0, self.m_max - 1)
-        body = self.srel[i, j]
+        body = self._cell(self.srel, i, j)
         body = jnp.where(n == m, -(self.s1_hi[i] + self.s1_lo[i]).astype(dt), body)
         body = jnp.where(m == 1, jnp.zeros((), dt), body)
         return jnp.where((m < 1) | (n < m), -jnp.inf, body)
@@ -289,7 +312,7 @@ class StirlingTable:
         i = jnp.clip(n - 1, 0, self.n_max - 1)
         j = jnp.clip(m - 1, 0, self.m_max - 1)
         if self.vtab is not None:
-            body = self.vtab[i, j]
+            body = self._cell(self.vtab, i, j)
         else:
             body = jnp.zeros(jnp.broadcast_shapes(n.shape, m.shape), dt)
         in_tab = (n <= self.n_max) & (m <= self.m_max)
@@ -353,14 +376,19 @@ def _norm_dims(init_n, init_m, max_n, max_m):
 def make(init_n: int, init_m: int, max_n: int, max_m: int, a: float,
          build_s: bool = True, build_v: bool = True,
          use_asympt: bool = False, dtype=jnp.float32,
-         use_pallas: Optional[bool] = None) -> StirlingTable:
+         use_pallas: Optional[bool] = None,
+         use_cols: Optional[bool] = None,
+         interpret: bool = False) -> StirlingTable:
     """Build a table (S_make, stable.c:110-312).  ``a`` must be concrete
     (host float) so S1 is computed in f64 -- the samplers never need a
     traced-``a`` table thanks to the a-grid design (see agrid.py).
 
-    On TPU, large fills route through the Pallas kernel with G=1 (the
-    sequential-grid row walk is ~2 orders of magnitude faster than the
-    lax.scan fill for n ~ 10^6 because the whole loop stays on-core)."""
+    On TPU, large fills route through a Pallas kernel: tables with
+    n >= 2^16 use the column-scan kernel (``fill_table_cols``; the table
+    keeps its permuted layout -- see StirlingTable docstring), shorter
+    ones the folded row walk (``fill_table``).  ``use_cols`` forces the
+    choice; ``interpret`` runs the kernels in interpreter mode (CPU
+    testing of the cols layout)."""
     init_n, init_m, max_n, max_m = _norm_dims(init_n, init_m, max_n, max_m)
     if not (build_s or build_v):
         raise ValueError("need at least one of build_s/build_v (stable.c:131)")
@@ -376,11 +404,25 @@ def make(init_n: int, init_m: int, max_n: int, max_m: int, a: float,
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
                       and np.dtype(dtype) == np.float32 and init_n >= 4096)
-    if use_pallas:
+    if use_cols is None:
+        # column-scan kernel: the fast single-table path for long tables
+        # (39 ms vs 109 ms folded at (2^20, 1024) on v5e); needs
+        # n < 2^24 (f32 row indexing) and pads n to a chunk multiple,
+        # so only worth it once the pad is negligible
+        use_cols = (use_pallas and build_v and init_n >= (1 << 16)
+                    and init_n < (1 << 24))
+    scan_chunks = n_pad = 0
+    if use_cols:
+        from ..ops import stirling_pallas
+        scan_chunks = 4096
+        vtab, srel, n_pad = stirling_pallas.fill_table_cols(
+            a, init_n, init_m, chunks=scan_chunks, with_srel=build_s,
+            dtype=dtype, interpret=interpret)
+    elif use_pallas:
         from ..ops import stirling_pallas
         if init_m % 8 == 0:
             # folded single-table kernel: all 8 sublanes on one table
-            # (the n=10^6 north-star path; ops/stirling_pallas.fill_table)
+            # (ops/stirling_pallas.fill_table)
             vtab, srel = stirling_pallas.fill_table(
                 a, init_n, init_m, with_srel=build_s, dtype=dtype)
         else:
@@ -398,7 +440,7 @@ def make(init_n: int, init_m: int, max_n: int, max_m: int, a: float,
         vtab=vtab if build_v else None,
         srel=srel if build_s else None,
         n_max=init_n, m_max=init_m, max_n=max_n, max_m=max_m,
-        use_asympt=use_asympt)
+        use_asympt=use_asympt, scan_chunks=scan_chunks, n_pad=n_pad)
 
 
 def remake(table: StirlingTable, a: float) -> StirlingTable:
@@ -440,9 +482,17 @@ def ensure(table: StirlingTable, n: int, m: int) -> StirlingTable:
     new_m = min(new_m, new_n)
     a = float(table.a)
     dtype = table.s1_hi.dtype
-    if new_m == table.m_max and new_n > table.n_max and table.vtab is not None:
+    on_tpu = jax.default_backend() == "tpu"
+    if (new_m == table.m_max and new_n > table.n_max
+            and table.vtab is not None and not table.scan_chunks
+            and not (on_tpu and new_n >= 4096)):
         # resume from the last filled row (the frontier path,
-        # stable.c:357-368): refill only rows n_max..new_n
+        # stable.c:357-368): refill only rows n_max..new_n.  Only worth
+        # it off-TPU: on the chip a full Pallas refill at the new size
+        # (folded or column-scan kernel via make()) beats a lax.scan
+        # over just the delta rows by orders of magnitude, so N-growth
+        # stays on the fast path by re-making (stable.c's S_remake_part
+        # exists because its scalar refill is expensive; ours isn't).
         v_last = table.vtab[-1]
         vext, srelext, _ = fill_rows(a, new_n, new_m, dtype=dtype,
                                      with_srel=table.srel is not None,

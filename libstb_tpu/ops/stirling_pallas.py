@@ -532,18 +532,27 @@ def fill_table(a, n_max: int, m_max: int, row_block: int | None = None,
 # Affine maps compose associatively, so one column is a parallel prefix:
 # the N rows split into C contiguous chunks of H = N/C rows laid out as
 # an (H, S, 128) VMEM slab with chunk = sublane*128 + lane and h the
-# sequential axis.  Three phases per column:
+# sequential axis.  Two phases per column (a third, per-chunk map
+# composition, is FUSED into the previous column's replay -- see below):
 #
-#   pass 1: compose each chunk's H maps -> (S, 128) chunk maps.  All C
-#           chunks advance per h step (S/8 vregs of independent FMA
-#           chains -- the latency the row walk serialized is now hidden
-#           by chunk-level ILP);
-#   pass 2: Hillis-Steele compose-scan over the C chunk maps in linear
+#   pass A: Hillis-Steele compose-scan over the C chunk maps in linear
 #           (sublane, lane) order (log2 C masked roll steps) -> the
 #           V value entering each chunk;
-#   pass 3: replay each chunk's rows applying v = A v + B, emitting V,
-#           log-S, and the NEXT column's (A, B) from the in-register
+#   pass B: replay each chunk's rows applying v = A v + B, emitting V,
+#           log-S, and the NEXT column's maps from the in-register
 #           v(n-1) -- so the left-column shift never touches memory.
+#           While emitting, the next column's maps are ALSO composed
+#           into per-chunk accumulators on the fly (3 extra FMAs per
+#           cell, all off the replay's critical dependence chain), so
+#           the v2 kernel's separate composition pass over the map
+#           slabs -- 2 VMEM loads + its own loop per cell -- vanishes.
+#           Only B is stored per row: A = (r - m a) B is recomputed
+#           from a +1-advancing register carry, halving map traffic and
+#           map scratch (the freed VMEM admits larger chunk counts).
+#           Measured on v5e at (2^20, 1024), V+Srel, chained-in-jit
+#           timing: 39 ms/fill = 219 GB/s (v2 was equal within noise --
+#           the kernel is issue-bound, not VMEM-bound -- but v3 is the
+#           simpler structure); V-only 20 ms; folded row walk 109 ms.
 #
 # Srel comes out even better than in the row kernels: since
 # Srel(n, m) = Srel(n, m-1) + log V(n, m), the log-S accumulation runs
@@ -603,25 +612,34 @@ def _lin_shift(x, k: int, sub, lane):
     return jnp.where(lane < (k % 128), y2, y)
 
 
-def _kernel_cols(a_ref, v_ref, srel_ref, carry_a, carry_b, sacc_ref,
+def _kernel_cols(a_ref, v_ref, srel_ref, carry_b, acc_a, acc_b, sacc_ref,
                  scomp_ref, *, h_len: int, s_sub: int, with_srel: bool,
                  kahan: bool):
-    """One grid step = one column m = j+1 for all n at once.
+    """One grid step = one column m = j+1 for all n at once (v3, fused).
 
     a_ref: (1,) SMEM, the discount.
     v_ref/srel_ref: (1, H, S, 128) output blocks for V and Srel.
-    carry_a/carry_b: (H, S, 128) scratch holding this column's affine
-    maps; overwritten with column j+1's maps during pass 3.
+    carry_b: (H, S, 128) scratch, this column's affine offsets B (the
+      slope A = (r - m a) B is recomputed from a register carry);
+      overwritten with column j+1's offsets during the replay.
+    acc_a/acc_b: (S, 128) scratch, this column's chunk-composed maps,
+      written by the PREVIOUS grid step's fused composition; the row-0
+      forced map (0,0) is already folded in at emission.
     sacc_ref/scomp_ref: (H, S, 128) Kahan pair accumulating Srel along m.
     """
     j = pl.program_id(0)
-    dt = carry_a.dtype
+    dt = carry_b.dtype
     H, S, L = h_len, s_sub, 128
     a0 = a_ref[0]
     sub2 = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
     cidx = sub2 * L + lane2                      # chunk index (S, L)
     c0mask = cidx == 0                           # chunk 0 <-> rows 0..H-1
+    # manual unroll (Mosaic forbids partial fori unroll): blocks of u
+    # rows; the h=0 row-0 forcing runs outside the fori so the
+    # steady-state loop body stays uniform
+    u = _UNROLL if h_len % _UNROLL == 0 and h_len > _UNROLL else 1
+    nblk = H // u
 
     def srel_step(h, lg):
         """Kahan (or plain) add of log V into the along-m accumulator;
@@ -641,19 +659,21 @@ def _kernel_cols(a_ref, v_ref, srel_ref, carry_a, carry_b, sacc_ref,
     @pl.when(j == 0)
     def _():
         # column m=1: V = +inf sentinel, Srel = 0; prepare column m=2's
-        # affine maps in closed form: B = 1/(r - a), A = (r - 2a) B.
+        # affine offsets in closed form: B = 1/(r - a), A = (r - 2a) B.
         # (NOT via the B = vL/(1 + c vL) route with a huge-vL sentinel:
         # the TPU divide loses ~2 digits at extreme exponents -- measured
         # 1.6e-5 relerr for 1e30/(1+c 1e30) vs 1.2e-7 for 1/c -- and the
         # m=2 column contracts so weakly that a systematic map bias
-        # amplifies ~n-fold, to 1e-2 by n=8192.)
+        # amplifies ~n-fold, to 1e-2 by n=8192.)  The row-0 forced map
+        # (0,0) is stored directly, and the chunk maps are composed here
+        # once -- every later column's composition rides the replay.
         hh = jax.lax.broadcasted_iota(jnp.int32, (H, S, L), 0)
         cc = (jax.lax.broadcasted_iota(jnp.int32, (H, S, L), 1) * L
               + jax.lax.broadcasted_iota(jnp.int32, (H, S, L), 2))
         rvec = (cc * H + hh).astype(dt)          # global row r = n-1
         c1 = rvec - a0                           # r - (m-1) a at m = 2
-        bb = 1.0 / c1                            # row 0 junk: forced at use
-        carry_a[:] = (c1 - a0) * bb
+        bb = 1.0 / c1
+        bb = jnp.where((hh == 0) & (cc == 0), 0.0, bb)   # row-0 force
         carry_b[:] = bb
         v_ref[0] = jnp.full((H, S, L), jnp.inf, dt)
         if with_srel:
@@ -661,36 +681,35 @@ def _kernel_cols(a_ref, v_ref, srel_ref, carry_a, carry_b, sacc_ref,
             if kahan:
                 scomp_ref[:] = jnp.zeros((H, S, L), dt)
             srel_ref[0] = jnp.zeros((H, S, L), dt)
+        # one-time composition of the m=2 chunk maps (A = (c1 - a) B)
+        c_h = (cidx * H).astype(dt)              # chunk-start row r
+        cB0 = c_h - 2.0 * a0                     # r - 2a at chunk starts
+
+        def compose(i, st):
+            aac, bac, cB = st
+            for q in range(u):
+                bq = carry_b[i * u + q]
+                aq = cB * bq
+                aac, bac = aq * aac, aq * bac + bq
+                cB = cB + 1.0
+            return aac, bac, cB
+
+        aacc, bacc, cB = compose(0, (jnp.zeros((S, L), dt) + 1.0,
+                                     jnp.zeros((S, L), dt), cB0))
+        # fori_loop from block 1; block 0 ran above to seed with identity
+        aacc, bacc, _ = jax.lax.fori_loop(1, nblk, compose,
+                                          (aacc, bacc, cB))
+        acc_a[:] = aacc
+        acc_b[:] = bacc
 
     @pl.when(j > 0)
     def _():
         jf = j.astype(dt)
-        # manual unroll (Mosaic forbids partial fori unroll): blocks of u
-        # rows; the h=0 row-0 forcing is folded into block 0, run outside
-        # the fori so the loop body stays uniform
-        u = _UNROLL if H % _UNROLL == 0 and H > _UNROLL else 1
-        nblk = H // u
-
-        # ---- pass 1: per-chunk composition of the H affine maps -------
-        # row n=1 (r=0 = chunk 0, h 0): forced map (0,0) -> V(1, m>=2)=0,
-        # applied at consumption so the steady-state loop stays unmasked
-        aacc = jnp.where(c0mask, 0.0, carry_a[0])
-        bacc = jnp.where(c0mask, 0.0, carry_b[0])
-        for q in range(1, u):
-            ah = carry_a[q]
-            aacc, bacc = ah * aacc, ah * bacc + carry_b[q]
-
-        def compose(i, st):
-            acc_a, acc_b = st
-            for q in range(u):
-                h = i * u + q
-                ah = carry_a[h]
-                acc_a, acc_b = ah * acc_a, ah * acc_b + carry_b[h]
-            return acc_a, acc_b
-
-        aacc, bacc = jax.lax.fori_loop(1, nblk, compose, (aacc, bacc))
-        # ---- pass 2: compose-scan over chunk maps (linear chunk order)
+        # ---- pass A: compose-scan over chunk maps (linear chunk order);
+        # the per-chunk maps were fused into the previous column's replay
         k = 1
+        aacc = acc_a[:]
+        bacc = acc_b[:]
         while k < S * L:
             a_s = _lin_shift(aacc, k, sub2, lane2)
             b_s = _lin_shift(bacc, k, sub2, lane2)
@@ -702,40 +721,49 @@ def _kernel_cols(a_ref, v_ref, srel_ref, carry_a, carry_b, sacc_ref,
         # v(row -1) = 0  ->  just the exclusive-scan B
         v_in = jnp.where(c0mask, 0.0, _lin_shift(bacc, 1, sub2, lane2))
 
-        # ---- pass 3: replay rows; emit V, Srel, and column j+1's maps.
-        # Next column m' = j+2 at row r needs c1' = r - (j+1) a and the
-        # left value V(r-1, j+1) -- which is exactly the replay register.
+        # ---- pass B: replay rows; emit V, Srel, and column j+1's maps,
+        # composing the new maps into chunk accumulators as they appear.
+        # Register carries per chunk: cB = r - (j+1) a, which is BOTH the
+        # current column's slope coefficient (A = cB B, since m = j+1)
+        # and the next column's denominator coefficient c1' = r - (m'-1)a.
         c_h = (cidx * H).astype(dt)              # chunk-start row r
-        c1n0 = c_h - (jf + 1.0) * a0
+        cB0 = c_h - (jf + 1.0) * a0
 
-        def emit(h, v_prev, v_new, c1n):
+        def one_row(h, st, force0=False):
+            v, cB, aac, bac = st
+            bq = carry_b[h]
+            num = cB * v + 1.0
+            v_new = num * bq                     # A v + B = B (cB v + 1)
             v_ref[0, h] = v_new
-            bb = v_prev / (1.0 + c1n * v_prev)
-            carry_a[h] = (c1n - a0) * bb
-            carry_b[h] = bb
+            # emit next column's offset from the in-register left value:
+            # bn = v / num via approximate reciprocal + 2 Newton steps
+            # (err ~1e-7 rel on hw, below the f32 recurrence noise; the
+            # builtin divide lowers to a longer guarded sequence)
+            r = pl.reciprocal(num, approx=True)
+            r = r * (2.0 - num * r)
+            r = r * (2.0 - num * r)
+            bn = v * r
+            if force0:
+                bn = jnp.where(c0mask, 0.0, bn)
+            carry_b[h] = bn
+            an = (cB - a0) * bn                  # next col slope coeff
+            aac, bac = an * aac, an * bac + bn
             if with_srel:
                 srel_step(h, jnp.log(v_new))
-
-        def one_row(h, v, c1n):
-            v_new = carry_a[h] * v + carry_b[h]
-            emit(h, v, v_new, c1n)
-            return v_new, c1n + 1.0
+            return v_new, cB + 1.0, aac, bac
 
         def replay(i, st):
-            v, c1n = st
             for q in range(u):
-                v, c1n = one_row(i * u + q, v, c1n)
-            return v, c1n
+                st = one_row(i * u + q, st)
+            return st
 
-        # h = 0: row-0 forcing at consumption (same mask as pass 1)
-        a0m = jnp.where(c0mask, 0.0, carry_a[0])
-        b0m = jnp.where(c0mask, 0.0, carry_b[0])
-        v0 = a0m * v_in + b0m
-        emit(0, v_in, v0, c1n0)
-        v, c1n = v0, c1n0 + 1.0
+        st = (v_in, cB0, jnp.zeros((S, L), dt) + 1.0, jnp.zeros((S, L), dt))
+        st = one_row(0, st, force0=True)
         for q in range(1, u):
-            v, c1n = one_row(q, v, c1n)
-        jax.lax.fori_loop(1, nblk, replay, (v, c1n))
+            st = one_row(q, st)
+        _, _, aacc2, bacc2 = jax.lax.fori_loop(1, nblk, replay, st)
+        acc_a[:] = aacc2
+        acc_b[:] = bacc2
 
 
 @functools.partial(
@@ -768,7 +796,9 @@ def fill_table_cols(a, n_max: int, m_max: int, chunks: int = _SCAN_C,
     out_shape = [jax.ShapeDtypeStruct((m_max, H, S, 128), dtype)]
     out_specs = [pl.BlockSpec((1, H, S, 128), lambda j: (j, 0, 0, 0),
                               memory_space=pltpu.VMEM)]
-    scratch = [pltpu.VMEM((H, S, 128), dtype), pltpu.VMEM((H, S, 128), dtype)]
+    scratch = [pltpu.VMEM((H, S, 128), dtype),       # carry_b
+               pltpu.VMEM((S, 128), dtype),          # acc_a
+               pltpu.VMEM((S, 128), dtype)]          # acc_b
     if with_srel:
         out_shape.append(jax.ShapeDtypeStruct((m_max, H, S, 128), dtype))
         out_specs.append(pl.BlockSpec((1, H, S, 128), lambda j: (j, 0, 0, 0),
@@ -779,13 +809,13 @@ def fill_table_cols(a, n_max: int, m_max: int, chunks: int = _SCAN_C,
         kernel = functools.partial(_kernel_cols, h_len=H, s_sub=S,
                                    with_srel=True, kahan=kahan)
         if not kahan:
-            def kernel(a_ref, v_ref, srel_ref, ca, cb, sa):      # noqa: F811
-                return _kernel_cols(a_ref, v_ref, srel_ref, ca, cb, sa,
+            def kernel(a_ref, v_ref, srel_ref, cb, aa, ab, sa):  # noqa: F811
+                return _kernel_cols(a_ref, v_ref, srel_ref, cb, aa, ab, sa,
                                     None, h_len=H, s_sub=S,
                                     with_srel=True, kahan=False)
     else:
-        def kernel(a_ref, v_ref, ca, cb):
-            return _kernel_cols(a_ref, v_ref, None, ca, cb, None, None,
+        def kernel(a_ref, v_ref, cb, aa, ab):
+            return _kernel_cols(a_ref, v_ref, None, cb, aa, ab, None, None,
                                 h_len=H, s_sub=S, with_srel=False,
                                 kahan=False)
 

@@ -170,3 +170,38 @@ def test_a_zero():
     t = stirling.make(25, 25, 50, 50, 0.0, dtype=jnp.float64)
     for (n, m) in [(5, 2), (10, 4), (25, 7)]:
         np.testing.assert_allclose(float(t.S(n, m)), ex[(n, m)], atol=1e-11)
+
+
+def test_cols_layout_table_queries():
+    """make(use_cols=True) stores the permuted column-scan layout; every
+    query (S / S1 / Srel / V / U) must agree with a natural-layout table
+    built from the same recurrence (layout is an internal detail)."""
+    nat = stirling.make(300, 40, 400, 64, 0.37, use_asympt=True,
+                        use_pallas=False)
+    cols = stirling.make(300, 40, 400, 64, 0.37, use_asympt=True,
+                         use_pallas=False, use_cols=True, interpret=True)
+    assert cols.scan_chunks > 0 and cols.vtab.shape == (40, cols.n_pad)
+    rng = np.random.default_rng(0)
+    n = rng.integers(1, 300, 200)
+    m = np.minimum(rng.integers(1, 40, 200), n)
+    for q in ("S", "Srel", "V", "U"):
+        a = np.asarray(getattr(nat, q)(n, m))
+        b = np.asarray(getattr(cols, q)(n, m))
+        fin = np.isfinite(a)
+        np.testing.assert_array_equal(np.isfinite(b), fin, err_msg=q)
+        np.testing.assert_allclose(b[fin], a[fin], rtol=2e-4, atol=2e-4,
+                                   err_msg=q)
+    # out-of-table asymptote fallback unaffected by layout
+    np.testing.assert_allclose(float(cols.S(1000, 5)),
+                               float(nat.S(1000, 5)), rtol=1e-6)
+
+
+def test_cols_layout_ensure_regrows():
+    cols = stirling.make(300, 40, 4000, 64, 0.37, use_pallas=False,
+                         use_cols=True, interpret=True)
+    grown = stirling.ensure(cols, 500, 40)
+    assert grown.n_max >= 501
+    nat = stirling.make(grown.n_max, grown.m_max, 4000, 64, 0.37,
+                        use_pallas=False)
+    np.testing.assert_allclose(float(grown.S(480, 17)),
+                               float(nat.S(480, 17)), rtol=1e-4)
