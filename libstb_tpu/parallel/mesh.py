@@ -36,6 +36,7 @@ __all__ = [
     "chain_sharding",
     "replicated",
     "shard_chain_tree",
+    "shard_chain_tree_global",
     "rhat",
     "ess",
     "cross_chain_moments",
@@ -76,6 +77,37 @@ def shard_chain_tree(tree: Any, mesh: Mesh, chains: int) -> Any:
         if x.ndim >= 1 and x.shape[0] == chains:
             return jax.device_put(x, cs)
         return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def shard_chain_tree_global(tree: Any, mesh: Mesh,
+                            global_chains: int) -> Any:
+    """Multi-process ``shard_chain_tree``: each process passes its OWN
+    slice of the ensemble (leading dim == global_chains / process_count);
+    those leaves assemble into global chain-sharded ``jax.Array``s via
+    ``make_array_from_process_local_data``, every other leaf replicates
+    (callers must pass identical values on every process -- tables and
+    data are deterministic functions of the config, so they are).
+
+    PRNG keys cannot ride this helper (no numpy form); split keys from a
+    shared seed inside the jitted step instead.  Single-process calls
+    defer to ``shard_chain_tree`` so drivers can be process-count
+    agnostic (SURVEY.md §5.8 multi-host).
+    """
+    if jax.process_count() == 1:
+        return shard_chain_tree(tree, mesh, global_chains)
+    cs = chain_sharding(mesh)
+    rep = replicated(mesh)
+    local = global_chains // jax.process_count()
+
+    def place(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == local:
+            return jax.make_array_from_process_local_data(
+                cs, x, (global_chains,) + x.shape[1:])
+        return jax.make_array_from_callback(x.shape, rep,
+                                            lambda idx, x=x: x[idx])
 
     return jax.tree_util.tree_map(place, tree)
 
