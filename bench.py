@@ -117,14 +117,16 @@ def single_table_throughput(oh: float, n: int = 1 << 20, m: int = 1024,
     tunnel's async dispatch."""
     from libstb_tpu.ops import stirling_pallas as sp
 
-    if not sp.available():
+    interp = not sp.available()
+    if interp:
         n, m, k = 4096, 64, 1
 
     @jax.jit
     def chain(a0):
         c = jnp.float32(0)
         for _ in range(k):
-            v, s, _ = sp.fill_table_cols(a0 + c * 1e-30, n, m)
+            v, s, _ = sp.fill_table_cols(a0 + c * 1e-30, n, m,
+                                         interpret=interp)
             c = c + (v[-1, -1] + s[-1, -1]) * 1e-30
         return c
 
@@ -157,32 +159,38 @@ def sweep_throughput(oh: float, chains: int = 32, sweeps: int = 4):
     t0_, T0_ = pyp.init_state(data, chains)
     a = jnp.full((chains,), 0.5, jnp.float32)
     b = jnp.full((chains,), 10.0, jnp.float32)
-    sched = jnp.asarray(pyp.ti_schedule(data, "cat"))
+    jvec, ivec, nvec = pyp.ti_pair_layout(data)
+    jv, iv, nv = jnp.asarray(jvec), jnp.asarray(ivec), jnp.asarray(nvec)
+    steps = int(nvec.max())
 
-    def timed(fn):
+    def timed(fn, state0):
         @jax.jit
-        def run(key, t, T):
+        def run(key, st):
             def body(carry, _):
-                t, T, key = carry
+                st, key = carry
                 key, k = jax.random.split(key)
-                t, T = fn(k, t, T)
-                return (t, T, key), None
-            (t, T, _), _ = jax.lax.scan(body, (t, T, key), None,
-                                        length=sweeps)
-            return t, T
+                return (fn(k, st), key), None
+            (st, _), _ = jax.lax.scan(body, (st, key), None, length=sweeps)
+            return st
         key = jax.random.key(0)
-        t, T = run(key, t0_, T0_)
-        _readback(T.astype(jnp.float32))
-        t0 = time.perf_counter()
-        t, T = run(key, t0_, T0_)
-        _readback(T.astype(jnp.float32))
-        dt = time.perf_counter() - t0 - oh
-        return chains * L * sweeps / dt
+        st = run(key, state0)
+        _readback(st[1].astype(jnp.float32))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            st = run(key, state0)
+            _readback(st[1].astype(jnp.float32))
+            ts.append(time.perf_counter() - t0 - oh)
+        ts.sort()
+        return chains * L * sweeps / ts[len(ts) // 2]
 
-    ctw = timed(lambda k, t, T: pyp.ctw_sweep_rel(
-        k, t, T, a, b, tab, data, window=10))
-    ti = timed(lambda k, t, T: pyp.ti_sweep_blocked(
-        k, t, T, a, b, tab, data, sched=sched))
+    ctw = timed(lambda k, st: pyp.ctw_sweep_rel(
+        k, st[0], st[1], a, b, tab, data, window=10), (t0_, T0_))
+    # pair-major TI: state stays pair-major across sweeps (the conversion
+    # is once per run in production, models/pyp.ti_sweep_pairs)
+    tp0 = t0_[:, jv, iv]
+    ti = timed(lambda k, st: pyp.ti_sweep_pairs_state(
+        k, st[0], st[1], a, b, tab, data, jv, iv, nv, steps), (tp0, T0_))
     return L, ctw, ti
 
 

@@ -35,7 +35,8 @@ from ..utils import yaps
 _warned_cat_mode = False
 
 __all__ = ["crp_generate", "base_distribution", "init_state", "init_hsa",
-           "ti_sweep", "ti_schedule", "ti_sweep_blocked", "ct_sweep",
+           "ti_sweep", "ti_schedule", "ti_sweep_blocked", "ti_pair_layout",
+           "ti_sweep_pairs", "ti_sweep_pairs_state", "ct_sweep",
            "ctw_sweep", "ctw_sweep_rel", "hsa_sweep", "PYPData"]
 
 Table = Union[agrid.AGridTable, stirling.StirlingTable]
@@ -331,6 +332,103 @@ def ti_sweep_blocked(key, t, T, a, b, tab: Table, data: PYPData,
         sched = ti_schedule(data, mode)
     return _ti_blocked_jit(key, t, T, a, b, tab, data, jnp.asarray(sched),
                            skip_first, legacy_odds)
+
+
+def ti_pair_layout(data: PYPData):
+    """Host-side pair extraction for the pair-major TI sweep: occupied
+    (group, category) pairs as index vectors (jvec, ivec, counts)."""
+    j_idx, i_idx = np.nonzero(data.n)
+    return (j_idx.astype(np.int32), i_idx.astype(np.int32),
+            data.n[j_idx, i_idx].astype(np.int32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "skip_first", "legacy_odds"))
+def ti_sweep_pairs_state(key, tp, T, a, b, tab: Table, data: PYPData,
+                         jvec, ivec, nvec, steps: int,
+                         skip_first: bool = True,
+                         legacy_odds: bool = False):
+    """Pair-major table-indicator sweep: the check.c-scale throughput
+    kernel (check.c:843-867 at MAXDATA=10^5, check.c:83).
+
+    The scheduled form (``ti_sweep_blocked``) gathers/scatters dense
+    (C, J, D) state every scan step -- TPU scatters serialise, capping it
+    at ~10^7 item-updates/s.  Here the observation is that the TI kernel
+    never uses the item identity: occurrence s of pair p performs the
+    same conditional update for every s (the first occurrence is forced
+    when ``skip_first``), so a sweep is just ``steps = max count`` rounds
+    in which EVERY pair with ``s < count_p`` updates once:
+
+    * ``tp`` (C, P) holds the table counts pair-major -- each round is
+      pure elementwise, no scatter anywhere;
+    * the group totals update via one (C, P) @ (P, J) one-hot matmul on
+      the MXU (exact integer deltas in f32, |T| << 2^24);
+    * Stirling V queries are one gather per round.
+
+    Within a round, pairs of the same group read the round-start total T
+    (the same block-start approximation as ``ti_sweep_blocked``'s cat
+    mode, validated against the sequential sweep at scale in
+    tests/test_models.py); rounds update T exactly.  Returns (tp, T).
+    """
+    dt = a.dtype
+    J = data.n.shape[0]
+    H = jnp.asarray(data.H, dt)[ivec]               # (P,)
+    nvec = jnp.asarray(nvec)
+    nif = nvec.astype(dt)[None]                     # (1, P)
+    oneh = jax.nn.one_hot(jvec, J, dtype=dt)        # (P, J)
+    a_c = a[:, None]
+    b_c = b[:, None]
+
+    def round_(carry, s):
+        tp, T, key = carry
+        key, k1, k2 = jax.random.split(key, 3)
+        valid = (s < nvec) & (nvec > 1)
+        if skip_first:
+            valid = valid & (s >= 1)
+        valid = valid[None]                          # (1, P)
+        Tj = T[:, jvec].astype(dt)                   # round-start totals
+        u1 = jax.random.uniform(k1, tp.shape, dt)
+        dec = (tp > 1) & ((nif - 1.0) * u1 < (tp - 1).astype(dt)) & valid
+        ti2 = tp - dec
+        v = _vq(tab, nvec[None], ti2 + 1, a_c)
+        denom = (nif - ti2.astype(dt) + 1.0) if legacy_odds else jnp.maximum(
+            nif - ti2.astype(dt), 1.0)
+        one = (H[None] * (b_c + (Tj - dec) * a_c) * ti2.astype(dt)
+               / denom * v)
+        u2 = jax.random.uniform(k2, tp.shape, dt)
+        inc = (u2 < one / (one + 1.0)) & valid & (ti2 < nvec[None])
+        tp2 = ti2 + inc
+        delta = (tp2 - tp).astype(dt)
+        T = T + jax.lax.dot_general(
+            delta, oneh, (((1,), (0,)), ((), ())),
+            preferred_element_type=dt).astype(T.dtype)
+        return (tp2, T, key), None
+
+    (tp, T, _), _ = jax.lax.scan(round_, (tp, T, key),
+                                 jnp.arange(steps, dtype=jnp.int32))
+    return tp, T
+
+
+def ti_sweep_pairs(key, t, T, a, b, tab: Table, data: PYPData,
+                   layout=None, skip_first: bool = True,
+                   legacy_odds: bool = False):
+    """Dense-state wrapper of ``ti_sweep_pairs_state``: converts the
+    (C, J, D) table-count state to pair-major and back (one gather + one
+    static-index scatter per sweep, amortised over all rounds).  Pass a
+    precomputed ``layout`` (from ``ti_pair_layout``) to skip the host
+    extraction."""
+    if layout is None:
+        layout = ti_pair_layout(data)
+    jvec, ivec, nvec = layout
+    steps = int(nvec.max()) if len(nvec) else 0
+    jv = jnp.asarray(jvec)
+    iv = jnp.asarray(ivec)
+    tp = t[:, jv, iv]
+    tp, T = ti_sweep_pairs_state(key, tp, T, a, b, tab, data, jv, iv,
+                                 jnp.asarray(nvec), steps,
+                                 skip_first=skip_first,
+                                 legacy_odds=legacy_odds)
+    return t.at[:, jv, iv].set(tp), T
 
 
 def init_hsa(data: PYPData, chains: int, smax: Optional[int] = None):
