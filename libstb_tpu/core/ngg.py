@@ -39,7 +39,8 @@ import numpy as np
 from . import special
 
 __all__ = ["log_gamma_inc_upper", "ngg_base_row", "ngg_table",
-           "ngg_ratio_table", "umax_log", "smax_log", "ngg_quadrature_log"]
+           "ngg_ratio_table", "umax_log", "smax_log", "hmax_log",
+           "hmax2_log", "gmax_log", "ngg_quadrature_log"]
 
 
 def log_gamma_inc_upper(s, x, iters: int = 400):
@@ -255,6 +256,174 @@ def smax_log(a, M, N, K, iters: int = 40):
             + (N - 1) * jnp.log(s) - (1 + K * a) * jnp.log(omx)
             + M * (1.0 - jnp.exp(-a * jnp.log(omx)))
             + K * jnp.log(M) - M + jnp.log(a))
+
+
+def _h(x, a, M, N, K):
+    """h(x) = -(N-1) log x + (K a + 1) log(1-x) + M (1-x)^-a
+    (ngg_integral.cpp:37-39): minus the log integrand of the [0,1]
+    representation."""
+    return (-(N - 1.0) * jnp.log(x) + (K * a + 1.0) * jnp.log1p(-x)
+            + M * jnp.exp(-a * jnp.log1p(-x)))
+
+
+def _ddh(x, a, M, N, K):
+    omx = 1.0 - x
+    return (-(K * a + 1.0) / omx / omx + (N - 1.0) / x / x
+            + M * a * (1.0 + a) * jnp.exp(-(2.0 + a) * jnp.log(omx)))
+
+
+def hmax_log(a, M, N, K, iters: int = 60, relerror: float = 1e-10,
+             interror: float = 1e-10, with_bounds: bool = False):
+    """Safeguarded-Newton maximizer of the [0,1] integral representation
+    (``hmax``, ngg_integral.cpp:47-130), vectorised.
+
+    Same representation as ``smax_log`` but with the reference hmax's
+    own safeguards: a Newton step when h'' > 0, otherwise a halved
+    gradient-direction step, with the 0.7-fraction boundary clamps.
+    Returns the Gaussian log-area  0.5 log(2 pi / h'') - h(x*)
+    + K log M + log a  (ngg_integral.cpp:121); with ``with_bounds`` also
+    the (hval_min, hval_max) window where the integrand is within
+    ``interror`` of its peak -- the reference uses it to bound the
+    DEIntegrator pass (ngg_integral.cpp:450).
+    """
+    a = jnp.asarray(a, jnp.result_type(float))
+    M = jnp.asarray(M, a.dtype)
+    N = jnp.asarray(N, a.dtype)
+    K = jnp.asarray(K, a.dtype)
+    shape = jnp.broadcast_shapes(a.shape, M.shape, N.shape, K.shape)
+    x0 = jnp.full(shape, 0.5, a.dtype)
+
+    def dh(x):
+        omx = 1.0 - x
+        return (-(N - 1.0) / x - (K * a + 1.0) / omx
+                + M * a * jnp.exp(-(1.0 + a) * jnp.log(omx)))
+
+    def body(i, st):
+        x, olddelta = st
+        delta = dh(x)
+        dd = _ddh(x, a, M, N, K)
+        # ddh <= 0: fall back to a (signed) remembered step, halved until
+        # it descends (ngg_integral.cpp:63-94); in vector form one
+        # halving per iteration suffices -- the loop re-checks
+        fallback = jnp.where(delta < 0, -jnp.abs(olddelta),
+                             jnp.abs(olddelta))
+        step = jnp.where(dd > 0, delta / jnp.where(dd > 0, dd, 1.0),
+                         fallback)
+        # boundary clamps (ngc hmax: eu - delta must stay in (0, 1))
+        step = jnp.where(x - step <= 0, x * 0.7, step)
+        step = jnp.where(x - step >= 1, -(1.0 - x) * 0.7, step)
+        # descent check for the fallback branch
+        worse = (dd <= 0) & (_h(x - step, a, M, N, K) >= _h(x, a, M, N, K))
+        step = jnp.where(worse, step / 2.0, step)
+        return x - step, step * 0.9
+
+    x, _ = jax.lax.fori_loop(0, iters, body, (x0, jnp.full(shape, 0.1,
+                                                           a.dtype)))
+    sigma = _ddh(x, a, M, N, K)
+    logarea = (0.5 * jnp.log(2 * jnp.pi / sigma) - _h(x, a, M, N, K)
+               + K * jnp.log(M) + jnp.log(a))
+    if not with_bounds:
+        return logarea
+    lo = jnp.where(N > 1, x * jnp.exp(jnp.log(interror) / (N - 1.0)), 0.0)
+    hi = 1.0 - jnp.exp(-jnp.log(
+        jnp.exp(-a * jnp.log1p(-x)) - jnp.log(interror) / M) / a)
+    return logarea, x, lo, hi
+
+
+def hmax2_log(a, M, N, K, iters: int = 50, relerror: float = 1e-12):
+    """Fixed-point maximizer of the same representation (``hmax2``,
+    ngg_integral.cpp:132-171): iterate
+        u <- 1 / (1 + (M a (1-u)^-a - 1 - K a) / (N - 1)).
+    The reference's hmax2 log-area omits the +log(a) term that hmax and
+    umax carry (ngg_integral.cpp:161 vs 121); that makes its printed
+    column differ by exactly log a, so we INCLUDE the term here to keep
+    the four approximations directly comparable (the cross-check test
+    asserts mutual agreement).
+
+    Convergence domain: the map contracts only where
+    a (1 + (K a + 1)/D*) < 1 with D* = M a (1-x*)^{-a} - K a - 1 -- the
+    small-K regime.  Outside it the raw iteration leaves (0, 1) (the
+    reference's own hmax2 prints diverging/nan iterates there,
+    ngg_integral.cpp:148-150 -- it is the experimental variant); we clamp
+    and damp the step, and return NaN when the final point is not a
+    maximum (sigma <= 0), so out-of-domain calls fail loudly instead of
+    returning a wrong area.  Use ``hmax_log``/``umax_log`` there."""
+    a = jnp.asarray(a, jnp.result_type(float))
+    M = jnp.asarray(M, a.dtype)
+    N = jnp.asarray(N, a.dtype)
+    K = jnp.asarray(K, a.dtype)
+    shape = jnp.broadcast_shapes(a.shape, M.shape, N.shape, K.shape)
+
+    def body(i, u):
+        nxt = 1.0 / (1.0 + (M * a * jnp.exp(-a * jnp.log1p(-u))
+                            - 1.0 - K * a) / jnp.maximum(N - 1.0, 1e-9))
+        # the raw map can leave (0, 1) (it does for small N at a M <~ 1,
+        # where the reference's loop prints diverging iterates and stops
+        # on its relerror test); clamp + average to make it a contraction
+        nxt = jnp.clip(nxt, 1e-9, 1.0 - 1e-9)
+        return 0.5 * (u + nxt)
+
+    u = jax.lax.fori_loop(0, iters, body, jnp.full(shape, 0.5, a.dtype))
+    # converged iff u is a genuine fixed point (one more raw-map step
+    # stays put) AND a maximum; else NaN (see docstring)
+    resid = jnp.abs(1.0 / (1.0 + (M * a * jnp.exp(-a * jnp.log1p(-u))
+                                  - 1.0 - K * a)
+                           / jnp.maximum(N - 1.0, 1e-9)) - u)
+    sigma = _ddh(u, a, M, N, K)
+    area = (0.5 * jnp.log(2 * jnp.pi / jnp.abs(sigma))
+            - _h(u, a, M, N, K) + K * jnp.log(M) + jnp.log(a))
+    return jnp.where((sigma > 0) & (resid < 1e-5 * (u + 1e-3)), area,
+                     jnp.nan)
+
+
+def gmax_log(a, M, N, K, iters: int = 60):
+    """Saddle point of the SECOND integral representation, x = t - M
+    over [0, inf) (``gmax``, ngg_integral.cpp:173-243): Newton in
+    u = log x with the reference's +-2u step clamp.
+
+        g(x) = x - (K-1) log(1+x/M) - (N-1) log(1 - (1+x/M)^{-1/a})
+        log area = 0.5 log(2 pi / sigma) - g + u + (K-1) log M - M,
+        sigma = x^2 g'' + x g'.
+
+    Independent of the [0,1] family (different contour), which is what
+    makes the 4-way cross-check meaningful."""
+    a = jnp.asarray(a, jnp.result_type(float))
+    M = jnp.asarray(M, a.dtype)
+    N = jnp.asarray(N, a.dtype)
+    K = jnp.asarray(K, a.dtype)
+    shape = jnp.broadcast_shapes(a.shape, M.shape, N.shape, K.shape)
+
+    def g(x, pxm):
+        return (x - (K - 1.0) * jnp.log1p(x / M)
+                - (N - 1.0) * jnp.log(1.0 - 1.0 / pxm))
+
+    def dg(x, pxm):
+        return 1.0 - ((K - 1.0) + (N - 1.0) / a / (pxm - 1.0)) \
+            / (1.0 + x / M) / M
+
+    def ddg(x, pxm):
+        return ((K - 1.0) + (N - 1.0) / a / (pxm - 1.0)
+                + (N - 1.0) * pxm / a / a / (pxm - 1.0) ** 2) \
+            / ((1.0 + x / M) * M) ** 2
+
+    def body(i, u):
+        eu = jnp.exp(u)
+        pxm = jnp.exp(jnp.log1p(eu / M) / a)
+        delta = eu * dg(eu, pxm) - 1.0
+        dd = eu * eu * ddg(eu, pxm) + eu * dg(eu, pxm)
+        step = delta / jnp.where(dd > 0, dd, 1.0)
+        step = jnp.clip(step, -2.0 * jnp.abs(u), 2.0 * jnp.abs(u))
+        return u - jnp.where(dd > 0, step, 0.0)
+
+    # start at u = log(max(N - M, 0.5)): the mode of t ~ N sits near
+    # x = N - M for large N (reference uses a warm-started chain)
+    u0 = jnp.log(jnp.maximum(N - M, 0.5))
+    u = jax.lax.fori_loop(0, iters, body, jnp.broadcast_to(u0, shape))
+    eu = jnp.exp(u)
+    pxm = jnp.exp(jnp.log1p(eu / M) / a)
+    sigma = eu * eu * ddg(eu, pxm) + eu * dg(eu, pxm)
+    return (0.5 * jnp.log(2 * jnp.pi / sigma) - g(eu, pxm) + u
+            + (K - 1.0) * jnp.log(M) - M)
 
 
 def ngg_quadrature_log(a, M, N, K, levels: int = 11):

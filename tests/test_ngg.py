@@ -101,3 +101,74 @@ def test_quadrature_batched():
     for i in range(3):
         single = float(ngg.ngg_quadrature_log(A, M, float(n[i]), float(k[i])))
         np.testing.assert_allclose(float(out[i]), single, rtol=1e-10)
+
+
+def test_four_way_cross_check():
+    """The reference cross-validates FOUR independent approximations of
+    log(Gamma(N)/a^{N-1} T^{N,K}): the exact table, quadrature, and the
+    u- and x-representation saddle points (ngg_integral.cpp:431-495).
+    All must agree: table == windowed quadrature tightly; saddle points
+    within their Gaussian-approximation error; gmax (the independent
+    second representation, ngg_integral.cpp:173-243) tracks the truth to
+    <1% of magnitude."""
+    a, M = 0.1, 10.0
+    tab = np.asarray(ngg.ngg_table(a, M, 16, 10))
+    for (n, k) in ((3, 2), (6, 5), (10, 5), (15, 5)):
+        t = tab[k - 1, n - 1]
+        q = float(ngg.ngg_quadrature_log(a, M, n, k))
+        u = float(ngg.umax_log(a, M, n, k))
+        h = float(ngg.hmax_log(a, M, n, k))
+        h2 = float(ngg.hmax2_log(a, M, n, k, iters=200))
+        g = float(ngg.gmax_log(a, M, n, k))
+        assert abs(q - t) < 1e-5, (n, k, q, t)          # exact methods
+        assert abs(g - t) < 0.05, (n, k, g, t)          # 2nd-rep saddle
+        assert abs(u - t) < 0.1, (n, k, u, t)           # u-rep saddle
+        assert abs(h - t) < 0.8, (n, k, h, t)           # x-rep saddle
+        # hmax2 is the fixed-point variant of hmax: same maximizer
+        assert abs(h2 - h) < 1e-4, (n, k, h2, h)
+    # large (N, K): the saddle family must agree with ITSELF (the table
+    # route cancels catastrophically there -- module docstring) and with
+    # the hmax-windowed quadrature below
+    for (n, k) in ((1000, 50), (10000, 200)):
+        u = float(ngg.umax_log(a, M, n, k))
+        g = float(ngg.gmax_log(a, M, n, k))
+        h = float(ngg.hmax_log(a, M, n, k))
+        assert abs(u - g) < 1e-2 * abs(u), (n, k, u, g)
+        assert abs(u - h) < 1e-2 * abs(u) + 1.5, (n, k, u, h)
+
+
+def test_hmax_bounds_window_quadrature():
+    """hmax's integration window (hval_min/hval_max,
+    ngg_integral.cpp:122-123,450) must bracket the mass: tanh-sinh on
+    [lo, hi] reproduces the table at small N AND stays accurate at
+    (N, K) where the naive full-range quadrature loses the peak."""
+    import jax.numpy as jnp
+    from libstb_tpu.core import quadrature
+    a, M = 0.1, 10.0
+    tab = np.asarray(ngg.ngg_table(a, M, 16, 10))
+
+    def windowed(n, k):
+        la, x, lo, hi = ngg.hmax_log(a, M, n, k, with_bounds=True)
+        af = jnp.float64(a); Mf = jnp.float64(M)
+        Nf = jnp.float64(n); Kf = jnp.float64(k)
+        q = quadrature.tanh_sinh_log(
+            lambda s: -ngg._h(s, af, Mf, Nf, Kf),
+            jnp.maximum(lo, 1e-14)[None], hi[None], 11)[0]
+        return float(q + k * np.log(M) + np.log(a))
+
+    for (n, k) in ((3, 2), (10, 5), (15, 5)):
+        assert abs(windowed(n, k) - tab[k - 1, n - 1]) < 1e-5
+    # regime where the unwindowed integral underresolves the peak
+    n, k = 10000, 200
+    full = float(ngg.ngg_quadrature_log(a, M, n, k))
+    win = windowed(n, k)
+    u = float(ngg.umax_log(a, M, n, k))
+    assert abs(win - u) < 1e-2 * abs(u)
+    assert abs(win - full) > 1.0          # the window genuinely rescues it
+
+
+def test_hmax2_signals_divergence():
+    """Outside its contraction domain (a (1 + (Ka+1)/D*) >= 1) hmax2
+    must return NaN, not a silently wrong area."""
+    v = np.asarray(ngg.hmax2_log(0.1, 10.0, 1000.0, 50.0))
+    assert np.isnan(v)

@@ -78,11 +78,59 @@ def measure(n_devices: int, iters: int, chains_per_dev: int):
                 per_device_chain_steps_per_s=chains / dt / n_devices)
 
 
+def measure_ngg(n_devices: int, iters: int, chains_per_dev: int):
+    """Weak scaling of the NGG saddle-point workload (BASELINE config 5):
+    chain-sharded (N, K) states evaluating umax/gmax with a cross-chain
+    agreement reduction."""
+    import jax
+    jax.config.update("jax_enable_x64", True)   # the maximizers are f64
+    import jax.numpy as jnp                     # code (reference trio is
+    import numpy as np                          # CPU long-double)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from libstb_tpu.core import ngg
+
+    devices = jax.devices()[:n_devices]
+    mesh = Mesh(np.asarray(devices), ("chains",))
+    chains = chains_per_dev * n_devices
+    rng = np.random.default_rng(0)
+    Ns = jnp.asarray(rng.integers(50, 100000, chains).astype(np.float64))
+    Ks = jnp.asarray(np.maximum(
+        1, Ns * rng.uniform(0.005, 0.05, chains)).astype(np.float64))
+    cs = NamedSharding(mesh, P("chains"))
+    rep = NamedSharding(mesh, P())
+
+    def ev(N, K):
+        u = ngg.umax_log(0.1, 10.0, N, K)
+        g = ngg.gmax_log(0.1, 10.0, N, K)
+        return u, jnp.max(jnp.abs(u - g) / jnp.maximum(jnp.abs(u), 1.0))
+
+    jev = jax.jit(ev, in_shardings=(cs, cs), out_shardings=(cs, rep))
+    Ns = jax.device_put(Ns, cs)
+    Ks = jax.device_put(Ks, cs)
+    u, worst = jev(Ns, Ks)
+    jax.block_until_ready(u)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        u, worst = jev(Ns, Ks)
+    jax.block_until_ready(u)
+    dt = (time.perf_counter() - t0) / iters
+    # gross-structure sanity only (rigorous accuracy: tests/test_ngg.py);
+    # small-N/large-K corners carry O(1/N) Gaussian error
+    assert float(worst) < 0.2
+    return dict(devices=n_devices, chains=chains, sec_per_step=dt,
+                chain_steps_per_s=chains / dt,
+                per_device_chain_steps_per_s=chains / dt / n_devices)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, default=0,
                    help="mesh size for the scaled run (0 = all)")
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--ngg", action="store_true",
+                   help="measure the NGG saddle-point workload "
+                        "(BASELINE config 5) instead of the Gibbs step")
     p.add_argument("--chains-per-dev", type=int, default=128)
     p.add_argument("--write-md", action="store_true")
     p.add_argument("--cpu", type=int, default=0, metavar="N",
@@ -100,8 +148,9 @@ def main():
         args.devices = args.devices or args.cpu
     import jax
     n = args.devices or len(jax.devices())
-    r1 = measure(1, args.iters, args.chains_per_dev)
-    rn = measure(n, args.iters, args.chains_per_dev)
+    meas = measure_ngg if args.ngg else measure
+    r1 = meas(1, args.iters, args.chains_per_dev)
+    rn = meas(n, args.iters, args.chains_per_dev)
     eff = rn["chain_steps_per_s"] / (r1["chain_steps_per_s"] * n)
     result = dict(backend=jax.default_backend(),
                   virtual=jax.default_backend() == "cpu",
