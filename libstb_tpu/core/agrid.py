@@ -227,6 +227,9 @@ class AGridTable:
         ts = jnp.asarray(ts)
         if ts.ndim >= 2 and ns.ndim == 1 and self.m_max <= 512:
             return self._data_curve_mm(ns, ts, weights)
+        return self._data_curve_gather(ns, ts, weights)
+
+    def _data_curve_gather(self, ns, ts, weights=None):
         shape = jnp.broadcast_shapes(ns.shape, ts.shape)
         ns = jnp.broadcast_to(ns, shape)
         ts = jnp.broadcast_to(ts, shape)
@@ -241,6 +244,47 @@ class AGridTable:
         w = mask.astype(dt) if weights is None else weights * mask
         out = jnp.sum(vals * w, axis=-1)       # (G, ...) summed over pairs
         return jnp.moveaxis(out, 0, -1)        # (..., G)
+
+    def data_curve_sparse(self, ns, ts, weights=None, chunk: int = 65536):
+        """Streaming CSR-style data_curve (the ``getval`` capability,
+        psample.h:101-115): reduce over the pair axis in fixed-size
+        chunks via ``lax.scan`` so sample_a handles D*J >= 10^6 occupied
+        pairs without ever materialising a (G, C, P) or (C, P, M)
+        intermediate -- peak memory is O(G * C * chunk), work identical
+        to the gather route.
+
+        ``ns``: (P,) counts; ``ts``: (P,) or (C, P) tables; the caller
+        passes OCCUPIED pairs only (CSR values; zero-padding is free
+        because n <= 1 pairs contribute 0, samplea.c:73-79).  Returns
+        the same (..., G) curve as data_curve (tested equal in
+        tests/test_agrid.py)."""
+        ns = jnp.asarray(ns)
+        ts = jnp.asarray(ts)
+        P = ns.shape[-1]
+        nseg = -(-P // chunk)
+        pad = nseg * chunk - P
+        ns_p = jnp.pad(ns, (0, pad))                     # n=0 -> masked
+        lead = ts.shape[:-1]
+        ts_p = jnp.pad(ts, ((0, 0),) * len(lead) + ((0, pad),))
+        w_p = (None if weights is None
+               else jnp.pad(weights, ((0, 0),) * (weights.ndim - 1)
+                            + ((0, pad),)))
+        ns_s = ns_p.reshape(nseg, chunk)
+        ts_s = jnp.moveaxis(ts_p.reshape(lead + (nseg, chunk)), -2, 0)
+        xs = (ns_s, ts_s) if w_p is None else (
+            ns_s, ts_s, jnp.moveaxis(
+                w_p.reshape(lead + (nseg, chunk)), -2, 0))
+
+        def seg(acc, x):
+            if w_p is None:
+                nseg_, tseg = x
+                return acc + self._data_curve_gather(nseg_, tseg), None
+            nseg_, tseg, wseg = x
+            return acc + self._data_curve_gather(nseg_, tseg, wseg), None
+
+        acc0 = jnp.zeros(lead + (self.g_max,), self.srel.dtype)
+        out, _ = jax.lax.scan(seg, acc0, xs)
+        return out
 
     def _data_curve_mm(self, ns, ts, weights=None):
         """MXU route of data_curve (shared ns): see data_curve docstring.

@@ -74,20 +74,32 @@ def a_bounds(a0):
 
 
 def sample_a(key, a0, grid: agrid.AGridTable, ns, ts, T, b,
-             loops: int = 1, kernel: str = "slice"):
+             loops: int = 1, kernel: str = "slice",
+             sparse_chunk: Optional[int] = None):
     """Discount posterior step using the grid curve (samplea semantics).
 
     Args:
       a0: (C,) current discounts.
       ns, ts: (C, P) or (P,) count/table pairs (flattened over groups and
-        categories; zero-padded entries are masked by n<=1).
+        categories; zero-padded entries are masked by n<=1).  For large
+        sparse workloads pass OCCUPIED pairs only (the getval capability,
+        psample.h:101-115) -- beyond ~2^18 pairs the curve reduction
+        streams in chunks automatically; ``sparse_chunk`` forces the
+        chunk size.
       T: (C, I) per-group table totals; b: (C, I) or (I,) concentrations.
     Returns (a, ok).
     """
     a0 = jnp.asarray(a0)
     T = jnp.asarray(T, a0.dtype)
     b = jnp.broadcast_to(jnp.asarray(b, a0.dtype), T.shape)
-    curve = grid.data_curve(jnp.asarray(ns), jnp.asarray(ts))
+    ns = jnp.asarray(ns)
+    ts = jnp.asarray(ts)
+    if sparse_chunk is None and ns.shape[-1] >= (1 << 18):
+        sparse_chunk = 1 << 16
+    if sparse_chunk:
+        curve = grid.data_curve_sparse(ns, ts, chunk=sparse_chunk)
+    else:
+        curve = grid.data_curve(ns, ts)
     if curve.ndim == 1:                    # shared data pairs across chains
         curve = jnp.broadcast_to(curve, a0.shape + curve.shape)
 

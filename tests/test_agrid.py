@@ -128,3 +128,54 @@ def test_data_curve_mm_t_equals_n_beyond_m_max():
     only_other = g.data_curve(ns[1:], ts[0, 1:])
     np.testing.assert_allclose(np.asarray(mm[0]), np.asarray(only_other),
                                rtol=1e-12)
+
+
+def test_data_curve_sparse_equals_dense():
+    """The streaming CSR route must reproduce data_curve exactly (same
+    gathers, chunked reduction), for shared and per-chain pairs, with
+    and without weights, including a non-chunk-multiple pair count."""
+    grid = agrid.make_grid(128, 48, g=24)
+    rng = np.random.default_rng(3)
+    P, C = 1000, 5
+    ns = rng.integers(0, 120, P).astype(np.int32)
+    ts_shared = np.minimum(rng.integers(1, 40, P), np.maximum(ns, 1))
+    ts_chain = np.minimum(rng.integers(1, 40, (C, P)),
+                          np.maximum(ns, 1)[None])
+    w = rng.uniform(0.5, 2.0, (C, P)).astype(np.float32)
+    for ts, wts in ((ts_shared, None), (ts_chain, None), (ts_chain, w)):
+        dense = np.asarray(grid._data_curve_gather(
+            jnp.asarray(ns), jnp.asarray(ts),
+            None if wts is None else jnp.asarray(wts)))
+        sparse = np.asarray(grid.data_curve_sparse(
+            jnp.asarray(ns), jnp.asarray(ts),
+            None if wts is None else jnp.asarray(wts), chunk=192))
+        np.testing.assert_allclose(sparse, dense, rtol=1e-6, atol=1e-4)
+
+
+def test_sample_a_sparse_million_pairs():
+    """sample_a over > 10^6 occupied sparse pairs without densifying
+    (round-3 missing #2: the getval capability at hca scale).  The
+    streamed curve must match the dense gather route, and the sampler
+    must run within bounded memory."""
+    from libstb_tpu.samplers import hyper
+    grid = agrid.make_grid(96, 32, g=16)
+    rng = np.random.default_rng(4)
+    C, P = 4, (1 << 20) + 17                   # non-multiple of chunk
+    ns = rng.integers(2, 90, P).astype(np.int32)
+    ts = np.minimum(rng.integers(1, 30, (C, P)).astype(np.int32), ns[None])
+    curve_s = np.asarray(grid.data_curve_sparse(jnp.asarray(ns),
+                                                jnp.asarray(ts)))
+    # spot-check against the dense gather on a slice-decomposed sum
+    acc = np.zeros_like(curve_s)
+    for lo in range(0, P, 1 << 18):
+        sl = slice(lo, min(lo + (1 << 18), P))
+        acc += np.asarray(grid._data_curve_gather(
+            jnp.asarray(ns[sl]), jnp.asarray(ts[:, sl])))
+    np.testing.assert_allclose(curve_s, acc, rtol=1e-5, atol=1e-2)
+
+    T = jnp.asarray(ts.sum(axis=1, dtype=np.float32).reshape(C, 1))
+    a, ok = hyper.sample_a(jax.random.key(0), jnp.full((C,), 0.5),
+                           grid, jnp.asarray(ns), jnp.asarray(ts),
+                           T, jnp.asarray([[10.0]] * C))
+    assert np.asarray(ok).all()
+    assert ((np.asarray(a) > 0.0) & (np.asarray(a) < 1.0)).all()
