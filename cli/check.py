@@ -58,6 +58,14 @@ def main():
     p.add_argument("-R", type=int, default=4, help="repeat runs")
     p.add_argument("-s", type=int, default=0)
     p.add_argument("-w", type=int, default=10, help="CTW window")
+    p.add_argument("-c", dest="maxrel", type=float, default=0.0,
+                   help="bound t sampling when the weight ratio drops "
+                        "(check.c:289; 0 = off, ref default 1e30)")
+    p.add_argument("-p", dest="printmean", type=int, default=0,
+                   help="print running mean T/a/b every repcyc cycles "
+                        "(check.c:996-1010)")
+    p.add_argument("-v", action="store_true",
+                   help="per-category mean-t report (check.c:1135-1137)")
     p.add_argument("--chains", type=int, default=32)
     p.add_argument("--dim", type=int, default=20)
     p.add_argument("--base", default="uniform",
@@ -140,13 +148,24 @@ def main():
                 cfg = driver.GibbsConfig(
                     iters=iters or 300, burnin=burnin or 0,
                     sampler=name, window=args.w, scale=float(args.dim),
+                    maxrel=args.maxrel,
                     bcycle=args.bcycle, acycle=args.acycle, kernel=kernel,
                     quit_on_bound=tcfg.quit_on_bound)
-                if iter_ms or burnin_ms:
+                prog = None
+                if args.printmean and r == 0:
+                    # check.c keeps running means for the first run only
+                    # (check.c:1002 'if (redo==1)')
+                    def prog(done, ms, rm):
+                        print(f"    p: iter {done:5d} {ms:8.1f}ms "
+                              f"E[T]={rm['Tave_mean']:.4f} "
+                              f"E[a]={rm['aave_mean']:.4f} "
+                              f"E[b]={rm['bave_mean']:.4f}")
+                if (iter_ms or burnin_ms) or prog is not None:
                     out = driver.run_gibbs_timed(
                         jax.random.key(args.s + 17 * r + 1), data, grid,
                         args.chains, args.a, args.b, cfg,
-                        iter_ms=iter_ms, burnin_ms=burnin_ms)
+                        iter_ms=iter_ms, burnin_ms=burnin_ms,
+                        chunk=args.printmean or 16, progress=prog)
                 else:
                     out = driver.run_gibbs(
                         jax.random.key(args.s + 17 * r + 1), data, grid,
@@ -170,6 +189,23 @@ def main():
         if iter_ms:
             line += f"  [{out['iters_done']} iters in {out['elapsed_ms']:.0f}ms]"
         print(line)
+        if args.v and name != "SA":
+            # per-category mean t (check.c:1135-1137 prints taveave[i])
+            tm = np.asarray(out["tave_mean"]).reshape(-1)
+            print("    t-ave:", " ".join(f"{v:.3f}" for v in tm))
+        if kernel == "ars" and args.bcycle and name != "SA":
+            # ARS efficiency telemetry (arms.c neval, BASELINE.md row 8):
+            # one diagnostic b-step from the final state
+            from libstb_tpu.samplers import hyper
+            dt = np.float32
+            _, _, nev = hyper.sample_b(
+                jax.random.key(99), out["b"],
+                np.asarray(data.N[:1], dt), np.asarray(out["T"])[:, :1],
+                out["a"], 1.1, float(args.dim), kernel="ars",
+                with_info=True)
+            nev = np.asarray(nev)
+            print(f"    ARS neval/call: mean {nev.mean():.1f} "
+                  f"max {nev.max()}")
 
 
 if __name__ == "__main__":

@@ -31,6 +31,9 @@ class GibbsConfig:
     acycle: int = 0           # -I
     sampler: str = "TI"       # -S (TI | CT | CTW | HSA)
     window: int = 10          # -w
+    maxrel: float = 0.0       # -c: CT candidate early-stop bound
+                              # (check.c:289,893); 0 = off (the
+                              # reference default 1e30 is equivalent)
     shape: float = 1.1        # PB_shape (demo.c:73)
     scale: float = 20.0       # PB_scale = DIM (demo.c:74)
     b_groups: int = 1         # demo.c passes I=1 to sampleb (demo.c:454)
@@ -84,7 +87,7 @@ def run_gibbs_timed(key, data: pyp.PYPData, grid: agrid.AGridTable,
                     chains: int, a0: float, b0: float, cfg: GibbsConfig,
                     iter_ms: Optional[float] = None,
                     burnin_ms: Optional[float] = None,
-                    chunk: int = 16):
+                    chunk: int = 16, progress=None):
     """Wall-clock-bounded Gibbs run (check.c's '-C Nms' / '-B Nms' modes,
     check.c:380-393, 1028-1054).
 
@@ -94,6 +97,11 @@ def run_gibbs_timed(key, data: pyp.PYPData, grid: agrid.AGridTable,
     The first chunk's compile time is excluded, like check.c's timer
     starting after S_make.  Returns run_gibbs-style statistics plus
     ``iters_done``/``burnin_done``.
+
+    ``progress``: optional callable, called after every post-burn-in
+    chunk with (iters_done, elapsed_ms, running_means dict) -- the
+    '-p repcyc' running-mean reporting of check.c:996-1010 (set
+    ``chunk`` to repcyc for the same cadence).
     """
     import math
     import time
@@ -166,6 +174,12 @@ def run_gibbs_timed(key, data: pyp.PYPData, grid: agrid.AGridTable,
             sums = vals if sums is None else [s + v for s, v in
                                               zip(sums, vals)]
             kept += step_iters
+            if progress is not None:
+                rm = [s / kept for s in sums]
+                progress(done, el_ms, dict(
+                    Tave_mean=float(np.mean(rm[1].sum(axis=-1))),
+                    aave_mean=float(np.mean(rm[2])),
+                    bave_mean=float(np.mean(rm[3]))))
         if iter_ms is not None and el_ms > iter_ms:
             break
     if sums is None:         # budget exhausted inside burn-in
@@ -197,11 +211,13 @@ def _run_gibbs_jit(key, data, grid, t, T, hist0, a, b, *,
             return pyp.ti_sweep(key, t, T, a, b, grid, data,
                                 skip_first=cfg.ti_skip_first,
                                 legacy_odds=cfg.ti_legacy)
+        mrel = cfg.maxrel or None
         if sampler == "CT":
-            return pyp.ct_sweep(key, t, T, a, b, grid, data, tmax)
+            return pyp.ct_sweep(key, t, T, a, b, grid, data, tmax,
+                                maxrel=mrel)
         if sampler == "CTW":
             return pyp.ct_sweep(key, t, T, a, b, grid, data, tmax,
-                                window=cfg.window)
+                                window=cfg.window, maxrel=mrel)
         raise ValueError(f"unknown sampler {cfg.sampler}")
 
     def step(carry, it):

@@ -519,7 +519,7 @@ def hsa_sweep(key, hist, T, a, b, data: PYPData):
 
 
 def _ct_conditional(tab, ni, ti, Tj, a, b, Hi, tmax: int, window,
-                    ti_off=None):
+                    ti_off=None, maxrel=None):
     """Masked log-weights over candidate t values (check.c:877-895).
 
     Weight(tt) proportional to  S(n,tt) * prod_{k=1}^{tt-1} H_i (b + (T - t_i + k) a)
@@ -533,6 +533,14 @@ def _ct_conditional(tab, ni, ti, Tj, a, b, Hi, tmax: int, window,
     defaults to ``ti`` but differs in the dynamic-n (hierarchical) case
     where ``ti`` has been clamped to a shrunk n while Tj still carries the
     stale stored count.
+
+    ``maxrel``: check.c's '-c' bound (check.c:289,318,342,893): the
+    reference's scalar loop STOPS at the first candidate tt > t_i + 3
+    whose weight has dropped maxrel-fold below the running peak, so all
+    later tt are excluded from the draw.  The vectorised analog masks
+    every candidate at or beyond that first cut (cumulative-or), making
+    the truncated kernel identical to the reference's, not merely
+    approximately so.
     """
     dt = a.dtype
     if ti_off is None:
@@ -554,12 +562,20 @@ def _ct_conditional(tab, ni, ti, Tj, a, b, Hi, tmax: int, window,
     ok = tts[None, :] <= ni_col
     if window is not None:
         ok = ok & (jnp.abs(tts[None, :] - ti[:, None]) <= window)
-    return jnp.where(ok, lw, -jnp.inf)
+    lw = jnp.where(ok, lw, -jnp.inf)
+    if maxrel is not None:
+        run_peak = jax.lax.cummax(lw, axis=lw.ndim - 1)
+        cut = ((tts[None, :] > ti[:, None] + 3)
+               & (run_peak - lw > jnp.log(jnp.asarray(maxrel, lw.dtype))))
+        dead = jnp.cumsum(cut.astype(jnp.int32), axis=-1) > 0
+        lw = jnp.where(dead, -jnp.inf, lw)
+    return lw
 
 
-@functools.partial(jax.jit, static_argnames=("tmax", "window"))
+@functools.partial(jax.jit, static_argnames=("tmax", "window", "maxrel"))
 def ct_sweep(key, t, T, a, b, tab: Table, data: PYPData, tmax: int,
-             window: Optional[int] = None, n_arr=None, H_arr=None):
+             window: Optional[int] = None, n_arr=None, H_arr=None,
+             maxrel: Optional[float] = None):
     """Collapsed-table sweep (check.c:868-904; window: check.c:905-943).
 
     For each (group, category): resample t_i from its full conditional
@@ -599,7 +615,7 @@ def ct_sweep(key, t, T, a, b, tab: Table, data: PYPData, tmax: int,
         # Tj still counts the stale stored t during a dynamic-n transient,
         # so the other-categories offset must subtract the stored value
         lw = _ct_conditional(tab, ni, ti, Tj, a_f, b_f, Hi, tmax, window,
-                             ti_off=ti_stored)
+                             ti_off=ti_stored, maxrel=maxrel)
         g = jax.random.gumbel(kg, lw.shape, a.dtype)
         tt = 1 + jnp.argmax(lw + g, axis=-1).astype(t.dtype)
         tt = jnp.where(ni > 0, tt, jnp.zeros_like(ti))

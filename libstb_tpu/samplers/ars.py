@@ -171,7 +171,8 @@ def _insert(xs, fs, k, x, f, n_max: int):
 
 def ars_sample(logpost: Callable, key, lo, hi, x_prev=None,
                n_init: int = 5, n_max: int = 16,
-               max_rejects: int = MAX_REJECTS, metropolis: bool = False):
+               max_rejects: int = MAX_REJECTS, metropolis: bool = False,
+               with_info: bool = False):
     """Batched derivative-free ARS / ARMS step.
 
     Args:
@@ -190,7 +191,11 @@ def ars_sample(logpost: Callable, key, lo, hi, x_prev=None,
     Returns:
       (x, ok): accepted draws and per-chain success mask (False = hit the
       reject cap, the reference's error 2001; the returned x is then the
-      last envelope draw, clamped to bounds).
+      last envelope draw, clamped to bounds).  With ``with_info``:
+      (x, ok, neval) where neval is the per-chain density-evaluation
+      count -- the reference's efficiency telemetry (arms.c:24,151,
+      BASELINE.md row 8): n_init envelope evals + 1 warm-start eval +
+      one per rejection round until acceptance.
     """
     lo = jnp.asarray(lo)
     hi = jnp.broadcast_to(jnp.asarray(hi, lo.dtype), lo.shape)
@@ -245,7 +250,7 @@ def ars_sample(logpost: Callable, key, lo, hi, x_prev=None,
         return (~jnp.all(done)) & (tries < max_rejects)
 
     def body(st):
-        done, tries, key, xs, fs, k, x_out, x_cur, f_cur, ok = st
+        done, tries, key, xs, fs, k, x_out, x_cur, f_cur, ok, nev = st
         key, x, h = sample_env(key, xs, fs, k)
         key, ka, km = jax.random.split(key, 3)
         u = jax.random.uniform(ka, k.shape, dt, 1e-12, 1.0)
@@ -278,14 +283,18 @@ def ars_sample(logpost: Callable, key, lo, hi, x_prev=None,
         fs = jnp.where(ins.reshape((-1, 1)), fs2, fs.reshape((-1, P))
                        ).reshape(fs.shape)
         k = jnp.where(ins, k2.reshape(k.shape), k)
+        nev = nev + (~done).astype(nev.dtype)  # still-sampling chains
         done = done | accept
         return (done, tries + 1, key, xs, fs, k, x_out,
                 jnp.where(newly, x_acc, x_cur),
-                jnp.where(newly, f_acc, f_cur), ok)
+                jnp.where(newly, f_acc, f_cur), ok, nev)
 
+    nev0 = jnp.full(C, n_init + 1, jnp.int32)  # envelope + warm start
     st = (jnp.zeros(C, bool), jnp.array(0), key, xs, fs, k,
-          x_cur, x_cur, f_cur, jnp.zeros(C, bool))
+          x_cur, x_cur, f_cur, jnp.zeros(C, bool), nev0)
     st = jax.lax.while_loop(cond, body, st)
+    if with_info:
+        return st[6], st[9], st[10]
     return st[6], st[9]
 
 

@@ -36,12 +36,20 @@ from . import ars as arsmod
 from . import slice as slicemod
 
 
-def _mcmc_1d(logpost, key, x0, lo, hi, loops: int, kernel: str):
+def _mcmc_1d(logpost, key, x0, lo, hi, loops: int, kernel: str,
+             with_info: bool = False):
     """Dispatch the 1-D kernel: "slice" (sslice.c route, the TPU default)
-    or "ars" (PSAMPLE_ARS route, psample.h:31-37)."""
+    or "ars" (PSAMPLE_ARS route, psample.h:31-37).  ``with_info`` returns
+    a third element: the per-chain density-evaluation count for ARS (the
+    arms.c neval telemetry), 0 for the slice kernel (the reference
+    exposes no equivalent there)."""
     if kernel == "ars":
-        return arsmod.ars_sample(logpost, key, lo, hi, x_prev=x0)
-    return slicemod.slice_sample(logpost, key, x0, lo, hi, loops=loops)
+        return arsmod.ars_sample(logpost, key, lo, hi, x_prev=x0,
+                                 with_info=with_info)
+    out = slicemod.slice_sample(logpost, key, x0, lo, hi, loops=loops)
+    if with_info:
+        return out[0], out[1], jnp.zeros_like(out[0], jnp.int32)
+    return out
 
 __all__ = ["A_MIN", "A_MAX", "SQUEEZEA", "B_MIN", "B_MAX",
            "sample_b", "sample_a", "sample_a_rebuild", "sample_a_m",
@@ -303,7 +311,8 @@ def _bmax(x, Q, T, shape, a, iters: int = 5):
 
 
 def sample_b(key, b0, N, T, a, shape: float, scale: float,
-             loops: int = 1, kernel: str = "slice"):
+             loops: int = 1, kernel: str = "slice",
+             with_info: bool = False):
     """Concentration posterior step (sampleb.c:79-159), batched.
 
     Args:
@@ -364,7 +373,12 @@ def sample_b(key, b0, N, T, a, shape: float, scale: float,
         lo = jnp.full_like(b0, B_MIN)
         hi = jnp.full_like(b0, B_MAX)
         start = jnp.clip(b0, B_MIN, B_MAX)
-    sliced, ok = _mcmc_1d(logpost, ks, start, lo, hi, loops, kernel)
+    res = _mcmc_1d(logpost, ks, start, lo, hi, loops, kernel,
+                   with_info=with_info)
+    sliced, ok = res[0], res[1]
 
     out = jnp.where(a > 0, sliced, conj)
+    if with_info:
+        # conjugate (a==0) chains draw exactly, no density evals
+        return out, ok | (a <= 0), jnp.where(a > 0, res[2], 0)
     return out, ok | (a <= 0)

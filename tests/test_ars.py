@@ -88,3 +88,25 @@ def test_reject_cap_reported():
                            jnp.full((C,), -1.0), jnp.full((C,), 1.0),
                            max_rejects=5)
     assert x.shape == (C,)  # no crash; ok may be False (err 2001 analog)
+
+
+def test_neval_telemetry():
+    """with_info returns the per-chain density-evaluation count (the
+    arms.c:24,151 neval diagnostic): n_init + 1 baseline, plus one per
+    rejection round, and never above n_init + 1 + max_rejects."""
+    C = 64
+    mu = jnp.linspace(-1.0, 1.0, C)
+
+    def logpost(x):
+        return -0.5 * (x - mu) ** 2
+
+    x, ok, nev = ars.ars_sample(logpost, jax.random.key(0),
+                                jnp.full((C,), -5.0), jnp.full((C,), 5.0),
+                                n_init=5, with_info=True)
+    nev = np.asarray(nev)
+    assert np.asarray(ok).all()
+    assert (nev >= 5 + 1 + 1).all()          # at least one env draw
+    assert (nev <= 5 + 1 + ars.MAX_REJECTS).all()
+    # a well-matched envelope needs FEW evals (the efficiency the
+    # reference's telemetry is for)
+    assert nev.mean() < 20

@@ -339,3 +339,33 @@ def test_ti_pairs_scale_equivalence():
     se = np.sqrt(seq.mean(0).std() ** 2 / seq.shape[1]
                  + par.mean(0).std() ** 2 / par.shape[1])
     assert abs(ms - mp) < 5 * se + 0.2, (ms, mp, se)
+
+
+def test_ct_maxrel_bound(workload):
+    """check.c's '-c maxrel' candidate truncation: an effectively-off
+    bound (the reference default 1e30) reproduces the unbounded sweep
+    EXACTLY (same draws, same key); a moderate bound still agrees on
+    posterior means within MC error (the truncated tail carries
+    negligible mass -- that is the heuristic's premise)."""
+    data, grid = workload
+    C = 128
+    a = jnp.full((C,), 0.5); b = jnp.full((C,), 1.0)
+    tmax = int(data.n.max()) + 1
+
+    def run(maxrel, key, sweeps=60):
+        t, T = pyp.init_state(data, C)
+        Ts = []
+        for k in jax.random.split(key, sweeps):
+            t, T = pyp.ct_sweep(k, t, T, a, b, grid, data, tmax,
+                                maxrel=maxrel)
+            Ts.append(np.asarray(T).sum(axis=1))
+        return np.asarray(Ts[sweeps // 2:])
+
+    free = run(None, jax.random.key(11))
+    off = run(1e30, jax.random.key(11))
+    np.testing.assert_array_equal(free, off)
+    bounded = run(1e6, jax.random.key(12))
+    mf, mb = free.mean(), bounded.mean()
+    se = np.sqrt(free.mean(0).std() ** 2 / free.shape[1]
+                 + bounded.mean(0).std() ** 2 / bounded.shape[1])
+    assert abs(mf - mb) < 5 * se + 0.1, (mf, mb, se)
