@@ -71,12 +71,28 @@ class AGridTable:
     max_m: int = dataclasses.field(default=0, metadata=dict(static=True))
     use_asympt: bool = dataclasses.field(default=True,
                                          metadata=dict(static=True))
+    # debugging tag for reports/errors (S_tag, stable.h:137-138)
+    tag: str = dataclasses.field(default="", metadata=dict(static=True))
 
     def _hard_n(self) -> int:
         return self.max_n if self.max_n else self.n_max
 
     def _hard_m(self) -> int:
         return self.max_m if self.max_m else self.m_max
+
+    def report(self) -> str:
+        """One-line stats string (S_report analog, stable.c:1025-1055)."""
+        nbytes = sum(x.size * x.dtype.itemsize
+                     for x in (self.vtab, self.srel, self.s1_hi, self.s1_lo)
+                     if x is not None)
+        name = f" '{self.tag}'" if self.tag else ""
+        return (f"a-grid{name}: G={self.g_max} a=[{self.a0:g},"
+                f"{self.a0 + self.da * (self.g_max - 1):g}], "
+                f"N={self.n_max}/{self._hard_n()}, "
+                f"M={self.m_max}/{self._hard_m()}, "
+                f"{'+S' if self.srel is not None else ''}"
+                f"{'+U/V' if self.vtab is not None else ''} "
+                f"{np.dtype(self.s1_hi.dtype).name} mem={nbytes // 1024}k")
 
     # -- grid locate --------------------------------------------------------
     def _locate(self, a):
@@ -336,7 +352,7 @@ def make_grid(n_max: int, m_max: int, g: int = 100,
               build_s: bool = True, build_v: bool = True,
               dtype=jnp.float32, use_pallas: Optional[bool] = None,
               mesh=None, max_n: int = 0, max_m: int = 0,
-              use_asympt: bool = True) -> AGridTable:
+              use_asympt: bool = True, tag: str = "") -> AGridTable:
     """Fill tables for a uniform discount grid.
 
     The default [0, 0.99] covers the sampler bounds A_MIN=0.01..A_MAX=0.98
@@ -363,14 +379,16 @@ def make_grid(n_max: int, m_max: int, g: int = 100,
     s1 = np.stack([stirling.s1_host(float(a), n_max) for a in avec])
     if mesh is None:
         return _finish_grid(avec, s1, n_max, m_max, build_s, build_v,
-                            dtype, use_pallas, max_n, max_m, use_asympt)
+                            dtype, use_pallas, max_n, max_m, use_asympt,
+                            tag)
     return _make_grid_sharded(avec, s1, n_max, m_max, build_s, build_v,
                               dtype, use_pallas, mesh, max_n, max_m,
-                              use_asympt)
+                              use_asympt, tag)
 
 
 def _make_grid_sharded(avec, s1, n_max, m_max, build_s, build_v, dtype,
-                       use_pallas, mesh, max_n=0, max_m=0, use_asympt=True):
+                       use_pallas, mesh, max_n=0, max_m=0, use_asympt=True,
+                       tag=""):
     from jax.sharding import NamedSharding, PartitionSpec as P
     axis = mesh.axis_names[0]
     nd = mesh.shape[axis]
@@ -426,11 +444,11 @@ def _make_grid_sharded(avec, s1, n_max, m_max, build_s, build_v, dtype,
         s1_hi=s1_hi, s1_lo=s1_lo,
         vtab=vtab if build_v else None,
         srel=srel if build_s else None,
-        max_n=max_n, max_m=max_m, use_asympt=use_asympt)
+        max_n=max_n, max_m=max_m, use_asympt=use_asympt, tag=tag)
 
 
 def _finish_grid(avec, s1, n_max, m_max, build_s, build_v, dtype,
-                 use_pallas, max_n=0, max_m=0, use_asympt=True):
+                 use_pallas, max_n=0, max_m=0, use_asympt=True, tag=""):
     if np.dtype(dtype) == np.float64:
         s1_hi = jnp.asarray(s1)
         s1_lo = jnp.zeros_like(s1_hi)
@@ -458,7 +476,7 @@ def _finish_grid(avec, s1, n_max, m_max, build_s, build_v, dtype,
         s1_hi=s1_hi, s1_lo=s1_lo,
         vtab=vtab if build_v else None,
         srel=srel if build_s else None,
-        max_n=max_n, max_m=max_m, use_asympt=use_asympt)
+        max_n=max_n, max_m=max_m, use_asympt=use_asympt, tag=tag)
 
 
 def _grow_bucket(used: int, want: int) -> int:
@@ -492,7 +510,9 @@ def ensure_grid(grid: AGridTable, n: int, m: int,
     m = int(m) + 1
     if quit_on_bound and (n > grid._hard_n() or m > grid._hard_m()):
         from ..utils import yaps
-        yaps.quit("ensure_grid(%d,%d) hit hard bounds (%d,%d)",
+        yaps.quit("a-grid%s: ensure_grid(%d,%d) hit hard bounds (%d,%d) "
+                  "(stable.c:915-917)",
+                  f" '{grid.tag}'" if grid.tag else "",
                   n, m, grid._hard_n(), grid._hard_m())
     n = min(n, grid._hard_n())
     m = min(m, grid._hard_m())
@@ -506,7 +526,7 @@ def ensure_grid(grid: AGridTable, n: int, m: int,
     return _finish_grid(avec, s1, new_n, new_m,
                         grid.srel is not None, grid.vtab is not None,
                         grid.s1_hi.dtype, use_pallas,
-                        grid.max_n, grid.max_m, grid.use_asympt)
+                        grid.max_n, grid.max_m, grid.use_asympt, grid.tag)
 
 
 def required_dims(data_n, t=None):

@@ -238,6 +238,10 @@ class StirlingTable:
     scan_chunks: int = dataclasses.field(default=0,
                                          metadata=dict(static=True))
     n_pad: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # debugging tag carried into reports and error messages (S_tag,
+    # stable.h:137-138; used at stable.c:105-108, 915-917 to identify
+    # which of several tables hit a bound)
+    tag: str = dataclasses.field(default="", metadata=dict(static=True))
 
     def _cell(self, tab, i, j):
         """tab[natural row i, natural col j] under either layout."""
@@ -351,7 +355,9 @@ class StirlingTable:
         nbytes = sum(x.size * x.dtype.itemsize
                      for x in (self.vtab, self.srel, self.s1_hi, self.s1_lo)
                      if x is not None)
-        return (f"S-table: a={float(self.a):f}, N={self.n_max}/{self.max_n}, "
+        name = f" '{self.tag}'" if self.tag else ""
+        return (f"S-table{name}: a={float(self.a):f}, "
+                f"N={self.n_max}/{self.max_n}, "
                 f"M={self.m_max}/{self.max_m}, "
                 f"{'+S' if self.srel is not None else ''}"
                 f"{'+U/V' if self.vtab is not None else ''} "
@@ -378,7 +384,7 @@ def make(init_n: int, init_m: int, max_n: int, max_m: int, a: float,
          use_asympt: bool = False, dtype=jnp.float32,
          use_pallas: Optional[bool] = None,
          use_cols: Optional[bool] = None,
-         interpret: bool = False) -> StirlingTable:
+         interpret: bool = False, tag: str = "") -> StirlingTable:
     """Build a table (S_make, stable.c:110-312).  ``a`` must be concrete
     (host float) so S1 is computed in f64 -- the samplers never need a
     traced-``a`` table thanks to the a-grid design (see agrid.py).
@@ -391,7 +397,8 @@ def make(init_n: int, init_m: int, max_n: int, max_m: int, a: float,
     testing of the cols layout)."""
     init_n, init_m, max_n, max_m = _norm_dims(init_n, init_m, max_n, max_m)
     if not (build_s or build_v):
-        raise ValueError("need at least one of build_s/build_v (stable.c:131)")
+        raise ValueError(f"make({tag or 'S-table'}): need at least one of "
+                         "build_s/build_v (stable.c:131, 105-108)")
     from scipy.special import gammaln
 
     a = float(a)
@@ -440,7 +447,7 @@ def make(init_n: int, init_m: int, max_n: int, max_m: int, a: float,
         vtab=vtab if build_v else None,
         srel=srel if build_s else None,
         n_max=init_n, m_max=init_m, max_n=max_n, max_m=max_m,
-        use_asympt=use_asympt, scan_chunks=scan_chunks, n_pad=n_pad)
+        use_asympt=use_asympt, scan_chunks=scan_chunks, n_pad=n_pad, tag=tag)
 
 
 def remake(table: StirlingTable, a: float) -> StirlingTable:
@@ -448,7 +455,7 @@ def remake(table: StirlingTable, a: float) -> StirlingTable:
     return make(table.n_max, table.m_max, table.max_n, table.max_m, a,
                 build_s=table.srel is not None, build_v=table.vtab is not None,
                 use_asympt=table.use_asympt,
-                dtype=table.s1_hi.dtype)
+                dtype=table.s1_hi.dtype, tag=table.tag)
 
 
 def _grow_dim(used: int, want: int, hard: int) -> int:
@@ -468,11 +475,23 @@ def _grow_dim(used: int, want: int, hard: int) -> int:
     return want
 
 
-def ensure(table: StirlingTable, n: int, m: int) -> StirlingTable:
+def ensure(table: StirlingTable, n: int, m: int,
+           quit_on_bound: bool = False) -> StirlingTable:
     """Host-level growth (S_extend semantics, stable.c:564-815): returns a
     table covering (n, m), reusing the existing fill as the resume frontier
     for pure N-growth.  Call between jit steps; inside jit the queries fall
-    back to the asymptote / -inf just as the reference's bound checks do."""
+    back to the asymptote / -inf just as the reference's bound checks do.
+
+    ``quit_on_bound``: the S_QUITONBOUND policy (stable.h:32-33) -- die
+    with the table's tag in the message (stable.c:915-917) instead of
+    clamping at the hard bounds."""
+    if quit_on_bound and (int(n) + 1 > table.max_n
+                          or int(m) + 1 > table.max_m):
+        from ..utils import yaps
+        yaps.quit("S-table%s: ensure(%d,%d) hit hard bounds (%d,%d) "
+                  "(stable.c:915-917)",
+                  f" '{table.tag}'" if table.tag else "",
+                  int(n), int(m), table.max_n, table.max_m)
     n = min(int(n) + 1, table.max_n)
     m = min(int(m) + 1, table.max_m)
     if n <= table.n_max and m <= table.m_max:
@@ -511,4 +530,4 @@ def ensure(table: StirlingTable, n: int, m: int) -> StirlingTable:
     # M growth (or mixed): full refill at the new size
     return make(new_n, new_m, table.max_n, table.max_m, a,
                 build_s=table.srel is not None, build_v=table.vtab is not None,
-                use_asympt=table.use_asympt, dtype=dtype)
+                use_asympt=table.use_asympt, dtype=dtype, tag=table.tag)

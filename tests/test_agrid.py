@@ -179,3 +179,15 @@ def test_sample_a_sparse_million_pairs():
                            T, jnp.asarray([[10.0]] * C))
     assert np.asarray(ok).all()
     assert ((np.asarray(a) > 0.0) & (np.asarray(a) < 1.0)).all()
+
+
+def test_grid_tag_report_and_quit():
+    """Grid-level S_tag analog (stable.h:137-138)."""
+    from libstb_tpu.utils.yaps import LibstbError
+
+    g = agrid.make_grid(48, 16, g=16, max_n=64, max_m=24, tag="word-grid")
+    assert "word-grid" in g.report()
+    g2 = agrid.ensure_grid(g, 60, 16)
+    assert g2.tag == "word-grid"
+    with pytest.raises(LibstbError, match="word-grid"):
+        agrid.ensure_grid(g2, 10_000, 10, quit_on_bound=True)

@@ -205,3 +205,22 @@ def test_cols_layout_ensure_regrows():
                         use_pallas=False)
     np.testing.assert_allclose(float(grown.S(480, 17)),
                                float(nat.S(480, 17)), rtol=1e-4)
+
+
+def test_tag_in_report_and_bound_errors():
+    """S_tag analog: the tag names the table in reports and bound deaths
+    (stable.h:137-138; stable.c:105-108, 915-917)."""
+    import pytest
+
+    from libstb_tpu.utils.yaps import LibstbError
+
+    tab = stirling.make(64, 16, 128, 32, 0.5, tag="doc-topic")
+    assert "doc-topic" in tab.report()
+    # tag survives remake and growth
+    assert stirling.remake(tab, 0.3).tag == "doc-topic"
+    assert stirling.ensure(tab, 100, 16).tag == "doc-topic"
+    with pytest.raises(LibstbError, match="doc-topic"):
+        stirling.ensure(tab, 10_000, 16, quit_on_bound=True)
+    with pytest.raises(ValueError, match="untagged"):
+        stirling.make(64, 16, 128, 32, 0.5, build_s=False, build_v=False,
+                      tag="untagged")

@@ -31,12 +31,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-# Must happen before any libstb_tpu import builds arrays.  The session
-# presets JAX_PLATFORMS=axon (TPU tunnel); override the live config.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
-
-import jax.numpy as jnp
+# Platform/precision are chosen in main() before any libstb_tpu import
+# builds arrays: the default CPU+f64 gate tests sampler *semantics*; the
+# --on-device gate runs the production TPU f32 path (Pallas grid fill +
+# run_gibbs) against the same reference moments.
 import numpy as np
 
 REF_SRC = "/root/reference"
@@ -92,6 +90,8 @@ def compare(name, ref_vals, our_vals, floor=0.0):
 
 
 def run_seed(demo, seed: int, args) -> bool:
+    import jax.numpy as jnp
+
     from libstb_tpu.core import agrid
     from libstb_tpu.models import driver, pyp
 
@@ -117,7 +117,13 @@ def run_seed(demo, seed: int, args) -> bool:
 
     data = pyp.from_counts(nmat)
     n_max = max(int(data.N.max()) + 2, 16)
-    grid = agrid.make_grid(n_max, n_max, g=96, dtype=jnp.float64)
+    if args.on_device:
+        # production path: f32 grid filled by the Pallas kernel on the
+        # chip, one jit cache shared across seeds via a fixed bucket size
+        n_max = max(64, 1 << int(np.ceil(np.log2(n_max))))
+        grid = agrid.make_grid(n_max, n_max, g=96, dtype=jnp.float32)
+    else:
+        grid = agrid.make_grid(n_max, n_max, g=96, dtype=jnp.float64)
     cfg = driver.GibbsConfig(iters=args.iters, bcycle=2, acycle=5,
                              sampler="TI", scale=float(nmat.shape[1]),
                              ti_legacy=True, ti_skip_first=False)
@@ -146,12 +152,24 @@ def main():
     ap.add_argument("--seeds", type=str, default="7,11,23")
     ap.add_argument("--n-per", type=int, default=40)
     ap.add_argument("--chains", type=int, default=64)
+    ap.add_argument("--on-device", action="store_true",
+                    help="run OUR side on the default backend (TPU) in "
+                    "f32 through the production Pallas-grid path instead "
+                    "of forcing CPU+f64")
     args = ap.parse_args()
+
+    if not args.on_device:
+        # The session presets JAX_PLATFORMS=axon (TPU tunnel); override
+        # the live config before any array is built.
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
 
     demo = build_reference()
     ok = True
     for seed in [int(s) for s in args.seeds.split(",") if s]:
-        print(f"-- seed {seed} (platform={jax.default_backend()}, f64, "
+        mode = (f"{jax.default_backend()}, "
+                f"{'f32 production' if args.on_device else 'f64'}")
+        print(f"-- seed {seed} (platform={mode}, "
               f"runs={args.runs}, chains={args.chains}) --")
         ok &= run_seed(demo, seed, args)
     print("PASS" if ok else "FAIL")
