@@ -160,8 +160,9 @@ def sweep_throughput(oh: float, chains: int = 32, sweeps: int = 4):
     a = jnp.full((chains,), 0.5, jnp.float32)
     b = jnp.full((chains,), 10.0, jnp.float32)
     jvec, ivec, nvec = pyp.ti_pair_layout(data)
+    order, stages = pyp.ti_pair_stages(nvec)
+    jvec, ivec, nvec = jvec[order], ivec[order], nvec[order]
     jv, iv, nv = jnp.asarray(jvec), jnp.asarray(ivec), jnp.asarray(nvec)
-    steps = int(nvec.max())
 
     def timed(fn, state0):
         @jax.jit
@@ -186,11 +187,12 @@ def sweep_throughput(oh: float, chains: int = 32, sweeps: int = 4):
 
     ctw = timed(lambda k, st: pyp.ctw_sweep_rel(
         k, st[0], st[1], a, b, tab, data, window=10), (t0_, T0_))
-    # pair-major TI: state stays pair-major across sweeps (the conversion
-    # is once per run in production, models/pyp.ti_sweep_pairs)
+    # pair-major TI, count-staged schedule: state stays pair-major (in
+    # descending-count order) across sweeps; the conversion is once per
+    # run in production (models/pyp.ti_sweep_pairs)
     tp0 = t0_[:, jv, iv]
-    ti = timed(lambda k, st: pyp.ti_sweep_pairs_state(
-        k, st[0], st[1], a, b, tab, data, jv, iv, nv, steps), (tp0, T0_))
+    ti = timed(lambda k, st: pyp.ti_sweep_pairs_staged(
+        k, st[0], st[1], a, b, tab, data, jv, iv, nv, stages), (tp0, T0_))
     return L, ctw, ti
 
 

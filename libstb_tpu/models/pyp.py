@@ -36,7 +36,8 @@ _warned_cat_mode = False
 
 __all__ = ["crp_generate", "base_distribution", "init_state", "init_hsa",
            "ti_sweep", "ti_schedule", "ti_sweep_blocked", "ti_pair_layout",
-           "ti_sweep_pairs", "ti_sweep_pairs_state", "ct_sweep",
+           "ti_sweep_pairs", "ti_sweep_pairs_state", "ti_pair_stages",
+           "ti_sweep_pairs_staged", "ct_sweep",
            "ctw_sweep", "ctw_sweep_rel", "hsa_sweep", "PYPData"]
 
 Table = Union[agrid.AGridTable, stirling.StirlingTable]
@@ -342,6 +343,119 @@ def ti_pair_layout(data: PYPData):
             data.n[j_idx, i_idx].astype(np.int32))
 
 
+def ti_pair_stages(nvec, skip_first: bool = True, min_pairs: int = 512):
+    """Host-side round staging for the pair-major TI sweep.
+
+    ``ti_sweep_pairs_state`` runs ``max(count)`` rounds over ALL pairs;
+    with CRP-skewed counts (a few pairs of size ~10^3 among thousands of
+    size ~10) nearly every lane is masked off in late rounds and the
+    sweep runs at a few percent efficiency.  Sorting pairs by descending
+    count makes the active set of round ``s`` a PREFIX of the pair axis,
+    so rounds can be grouped into stages over shrinking static prefixes:
+    stage k processes rounds [r_k, r_{k+1}) over the first P_k pairs,
+    with boundaries chosen where the active count halves.  Total work
+    drops from max_c * P to <= 2 * sum(count) + tail.
+
+    Returns ``(order, stages)``: ``order`` (np.int32) sorts the pair
+    arrays by descending count; ``stages`` is a tuple of
+    ``(pairs, r_start, r_stop)`` triples consumed (statically) by
+    ``ti_sweep_pairs_staged``.  ``min_pairs`` stops the halving once a
+    prefix is narrow enough that masking costs nothing.
+    """
+    nvec = np.asarray(nvec)
+    order = np.argsort(-nvec, kind="stable").astype(np.int32)
+    c = nvec[order]
+    P = int(len(c))
+    max_c = int(c[0]) if P else 0
+    r = 1 if skip_first else 0
+    stages = []
+    while r < max_c:
+        p_act = int((c > r).sum())
+        if p_act == 0:
+            break
+        if p_act <= min_pairs:
+            stages.append((p_act, r, max_c))
+            break
+        k = p_act // 2
+        # c sorted desc: #(c > c[k]) <= k, so the active set has halved
+        r2 = int(c[k]) if k < P else max_c
+        r2 = min(max(r2, r + 1), max_c)
+        stages.append((p_act, r, r2))
+        r = r2
+    return order, tuple(stages)
+
+
+def _pairs_round(tab, H, nvec, oneh, jvec, a_c, b_c, skip_first: bool,
+                 legacy_odds: bool):
+    """Build the per-round body shared by the flat and staged pair-major
+    TI sweeps; all pair-axis arrays are already sliced to the active
+    prefix."""
+    dt = a_c.dtype
+    nif = nvec.astype(dt)[None]                     # (1, P)
+
+    def round_(carry, s):
+        tp, T, key = carry
+        key, k1, k2 = jax.random.split(key, 3)
+        valid = (s < nvec) & (nvec > 1)
+        if skip_first:
+            valid = valid & (s >= 1)
+        valid = valid[None]                          # (1, P)
+        Tj = T[:, jvec].astype(dt)                   # round-start totals
+        u1 = jax.random.uniform(k1, tp.shape, dt)
+        dec = (tp > 1) & ((nif - 1.0) * u1 < (tp - 1).astype(dt)) & valid
+        ti2 = tp - dec
+        v = _vq(tab, nvec[None], ti2 + 1, a_c)
+        denom = (nif - ti2.astype(dt) + 1.0) if legacy_odds else jnp.maximum(
+            nif - ti2.astype(dt), 1.0)
+        one = (H[None] * (b_c + (Tj - dec) * a_c) * ti2.astype(dt)
+               / denom * v)
+        u2 = jax.random.uniform(k2, tp.shape, dt)
+        inc = (u2 < one / (one + 1.0)) & valid & (ti2 < nvec[None])
+        tp2 = ti2 + inc
+        delta = (tp2 - tp).astype(dt)
+        T = T + jax.lax.dot_general(
+            delta, oneh, (((1,), (0,)), ((), ())),
+            preferred_element_type=dt).astype(T.dtype)
+        return (tp2, T, key), None
+
+    return round_
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("stages", "skip_first", "legacy_odds"))
+def ti_sweep_pairs_staged(key, tp, T, a, b, tab: Table, data: PYPData,
+                          jvec, ivec, nvec, stages,
+                          skip_first: bool = True,
+                          legacy_odds: bool = False):
+    """Staged pair-major TI sweep: ``ti_sweep_pairs_state`` semantics with
+    the pair axis PRE-SORTED by descending count (``ti_pair_stages``
+    order) so late rounds touch only the still-active prefix.
+
+    ``stages`` is the static tuple from ``ti_pair_stages``; each stage
+    scans its round range over a static prefix slice of the pair state,
+    cutting the work on skewed count distributions by 1-2 orders of
+    magnitude (check.c-scale: ~9x measured, see bench.py).  Within a
+    round the same round-start-T approximation applies (validated at
+    scale in tests/test_models.py).  Returns (tp, T) in sorted order.
+    """
+    dt = a.dtype
+    J = data.n.shape[0]
+    P = tp.shape[1]
+    Hfull = jnp.asarray(data.H, dt)[ivec]           # (P,)
+    nvec = jnp.asarray(nvec)
+    a_c = a[:, None]
+    b_c = b[:, None]
+    for (p, r0, r1) in stages:
+        round_ = _pairs_round(tab, Hfull[:p], nvec[:p],
+                              jax.nn.one_hot(jvec[:p], J, dtype=dt),
+                              jvec[:p], a_c, b_c, skip_first, legacy_odds)
+        (tps, T, key), _ = jax.lax.scan(
+            round_, (tp[:, :p], T, key),
+            jnp.arange(r0, r1, dtype=jnp.int32))
+        tp = tps if p == P else jnp.concatenate([tps, tp[:, p:]], axis=1)
+    return tp, T
+
+
 @functools.partial(jax.jit,
                    static_argnames=("steps", "skip_first", "legacy_odds"))
 def ti_sweep_pairs_state(key, tp, T, a, b, tab: Table, data: PYPData,
@@ -374,36 +488,9 @@ def ti_sweep_pairs_state(key, tp, T, a, b, tab: Table, data: PYPData,
     J = data.n.shape[0]
     H = jnp.asarray(data.H, dt)[ivec]               # (P,)
     nvec = jnp.asarray(nvec)
-    nif = nvec.astype(dt)[None]                     # (1, P)
-    oneh = jax.nn.one_hot(jvec, J, dtype=dt)        # (P, J)
-    a_c = a[:, None]
-    b_c = b[:, None]
-
-    def round_(carry, s):
-        tp, T, key = carry
-        key, k1, k2 = jax.random.split(key, 3)
-        valid = (s < nvec) & (nvec > 1)
-        if skip_first:
-            valid = valid & (s >= 1)
-        valid = valid[None]                          # (1, P)
-        Tj = T[:, jvec].astype(dt)                   # round-start totals
-        u1 = jax.random.uniform(k1, tp.shape, dt)
-        dec = (tp > 1) & ((nif - 1.0) * u1 < (tp - 1).astype(dt)) & valid
-        ti2 = tp - dec
-        v = _vq(tab, nvec[None], ti2 + 1, a_c)
-        denom = (nif - ti2.astype(dt) + 1.0) if legacy_odds else jnp.maximum(
-            nif - ti2.astype(dt), 1.0)
-        one = (H[None] * (b_c + (Tj - dec) * a_c) * ti2.astype(dt)
-               / denom * v)
-        u2 = jax.random.uniform(k2, tp.shape, dt)
-        inc = (u2 < one / (one + 1.0)) & valid & (ti2 < nvec[None])
-        tp2 = ti2 + inc
-        delta = (tp2 - tp).astype(dt)
-        T = T + jax.lax.dot_general(
-            delta, oneh, (((1,), (0,)), ((), ())),
-            preferred_element_type=dt).astype(T.dtype)
-        return (tp2, T, key), None
-
+    round_ = _pairs_round(tab, H, nvec, jax.nn.one_hot(jvec, J, dtype=dt),
+                          jvec, a[:, None], b[:, None], skip_first,
+                          legacy_odds)
     (tp, T, _), _ = jax.lax.scan(round_, (tp, T, key),
                                  jnp.arange(steps, dtype=jnp.int32))
     return tp, T
@@ -411,15 +498,31 @@ def ti_sweep_pairs_state(key, tp, T, a, b, tab: Table, data: PYPData,
 
 def ti_sweep_pairs(key, t, T, a, b, tab: Table, data: PYPData,
                    layout=None, skip_first: bool = True,
-                   legacy_odds: bool = False):
-    """Dense-state wrapper of ``ti_sweep_pairs_state``: converts the
+                   legacy_odds: bool = False, staged: bool = True,
+                   min_pairs: int = 512):
+    """Dense-state wrapper of the pair-major TI sweeps: converts the
     (C, J, D) table-count state to pair-major and back (one gather + one
     static-index scatter per sweep, amortised over all rounds).  Pass a
     precomputed ``layout`` (from ``ti_pair_layout``) to skip the host
-    extraction."""
+    extraction.  ``staged=True`` (default) sorts pairs by descending
+    count and runs the shrinking-prefix schedule (``ti_pair_stages``) so
+    CRP-skewed counts don't leave most lanes masked; ``staged=False``
+    keeps the flat max-count schedule."""
     if layout is None:
         layout = ti_pair_layout(data)
     jvec, ivec, nvec = layout
+    if staged and len(nvec):
+        order, stages = ti_pair_stages(nvec, skip_first=skip_first,
+                                       min_pairs=min_pairs)
+        jvec, ivec, nvec = jvec[order], ivec[order], nvec[order]
+        jv = jnp.asarray(jvec)
+        iv = jnp.asarray(ivec)
+        tp = t[:, jv, iv]
+        tp, T = ti_sweep_pairs_staged(key, tp, T, a, b, tab, data, jv, iv,
+                                      jnp.asarray(nvec), stages,
+                                      skip_first=skip_first,
+                                      legacy_odds=legacy_odds)
+        return t.at[:, jv, iv].set(tp), T
     steps = int(nvec.max()) if len(nvec) else 0
     jv = jnp.asarray(jvec)
     iv = jnp.asarray(ivec)
