@@ -39,8 +39,8 @@ import numpy as np
 from . import special
 
 __all__ = ["log_gamma_inc_upper", "ngg_base_row", "ngg_table",
-           "ngg_ratio_table", "umax_log", "smax_log", "hmax_log",
-           "hmax2_log", "gmax_log", "ngg_quadrature_log"]
+           "ngg_ratio_table", "t_l1", "t_l2", "umax_log", "smax_log",
+           "hmax_log", "hmax2_log", "gmax_log", "ngg_quadrature_log"]
 
 
 def log_gamma_inc_upper(s, x, iters: int = 400):
@@ -188,6 +188,32 @@ def ngg_ratio_table(a: float, M: float, n_max: int, k_max: int,
     ks = jnp.arange(1, k_max)
     _, rows = jax.lax.scan(step, base, ks)
     return jnp.concatenate([base[None], rows], axis=0)
+
+
+def t_l1(rtab, n, k):
+    """Lambda1 ratio T[k][n+1]/T[k][n] from a ``ngg_ratio_table`` result
+    (T_L1, ngg_test.c:484-490): R[k][n] lives at rtab[k-1, n-1]."""
+    n = jnp.asarray(n)
+    k = jnp.asarray(k)
+    return rtab[k - 1, n - 1]
+
+
+def t_l2(rtab, n, k, a):
+    """Lambda2 ratio  1/R[k][n-1] + (k - n/a)  (T_L2, ngg_test.c:491-499).
+
+    Derived from the cross-k recursion: dividing
+    T[k+1][n] = (n-1)/a T[k][n-1] - ((n-1)/a - k) T[k][n] by T[k][n]
+    relates the n-ratio of row k to the k-step at (n, k); the reference
+    packages the reciprocal-plus-linear form as its second Lambda ratio.
+    ``rtab`` is an ``ngg_ratio_table`` result (R[k][n] at [k-1, n-1]),
+    so the lookup index for R[k][n-1] is [k-1, n-2]; valid for n >= 2,
+    n-1 >= k (the reference asserts n >= 2 and bounds only,
+    ngg_test.c:492-496)."""
+    n = jnp.asarray(n)
+    k = jnp.asarray(k)
+    dt = rtab.dtype
+    return (1.0 / rtab[k - 1, n - 2]
+            + (k.astype(dt) - n.astype(dt) / jnp.asarray(a, dt)))
 
 
 def umax_log(a, M, N, K, iters: int = 40):

@@ -484,7 +484,11 @@ def ensure(table: StirlingTable, n: int, m: int,
 
     ``quit_on_bound``: the S_QUITONBOUND policy (stable.h:32-33) -- die
     with the table's tag in the message (stable.c:915-917) instead of
-    clamping at the hard bounds."""
+    clamping at the hard bounds.  Unlike the reference, which dies at
+    QUERY time inside S_V/S_S (stable.c:915-917), the policy here fires
+    only at this host-side ensure() call: in-graph queries past
+    (max_n, max_m) cannot raise, so they fall back to the asymptote /
+    -inf / 0 conventions regardless of the flag."""
     if quit_on_bound and (int(n) + 1 > table.max_n
                           or int(m) + 1 > table.max_m):
         from ..utils import yaps

@@ -359,8 +359,10 @@ def ti_pair_stages(nvec, skip_first: bool = True, min_pairs: int = 512):
     Returns ``(order, stages)``: ``order`` (np.int32) sorts the pair
     arrays by descending count; ``stages`` is a tuple of
     ``(pairs, r_start, r_stop)`` triples consumed (statically) by
-    ``ti_sweep_pairs_staged``.  ``min_pairs`` stops the halving once a
-    prefix is narrow enough that masking costs nothing.
+    ``ti_sweep_pairs_staged`` -- which must be called with the SAME
+    ``skip_first`` (the first stage's start round encodes it; the sweep
+    asserts the match).  ``min_pairs`` stops the halving once a prefix
+    is narrow enough that masking costs nothing.
     """
     nvec = np.asarray(nvec)
     order = np.argsort(-nvec, kind="stable").astype(np.int32)
@@ -437,7 +439,17 @@ def ti_sweep_pairs_staged(key, tp, T, a, b, tab: Table, data: PYPData,
     magnitude (check.c-scale: ~9x measured, see bench.py).  Within a
     round the same round-start-T approximation applies (validated at
     scale in tests/test_models.py).  Returns (tp, T) in sorted order.
+
+    ``stages`` must have been built by ``ti_pair_stages`` with the SAME
+    ``skip_first`` as passed here (the first stage's start round encodes
+    it); a mismatch would silently skip or repeat round 0, so it is
+    asserted at trace time.
     """
+    if stages:
+        assert stages[0][1] == (1 if skip_first else 0), (
+            f"stages built with skip_first={stages[0][1] == 1}, sweep "
+            f"called with skip_first={skip_first}: rebuild stages via "
+            f"ti_pair_stages(nvec, skip_first={skip_first})")
     dt = a.dtype
     J = data.n.shape[0]
     P = tp.shape[1]
@@ -452,6 +464,10 @@ def ti_sweep_pairs_staged(key, tp, T, a, b, tab: Table, data: PYPData,
         (tps, T, key), _ = jax.lax.scan(
             round_, (tp[:, :p], T, key),
             jnp.arange(r0, r1, dtype=jnp.int32))
+        # stage boundaries are static jit args, so a different count
+        # distribution (or min_pairs) recompiles; acceptable for the
+        # fixed-data bench/sweep usage -- if this ever runs with data
+        # that changes shape mid-run, bucket the boundaries instead
         tp = tps if p == P else jnp.concatenate([tps, tp[:, p:]], axis=1)
     return tp, T
 

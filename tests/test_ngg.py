@@ -62,6 +62,24 @@ def test_ratio_table_matches_diffs():
                                        err_msg=f"k={k} n={n}")
 
 
+def test_t_l1_t_l2_helpers():
+    # T_L1/T_L2 (ngg_test.c:484-499) from the ratio table, checked against
+    # the ground-truth log-table differences: T_L2 = T[k][n-1]/T[k][n]
+    # + (k - n/a) = 1/R[k][n-1] + (k - n/a).
+    N, K = 14, 7
+    tab = np.asarray(ngg.ngg_table(A, M, N, K))
+    R = ngg.ngg_ratio_table(A, M, N, K)
+    for k in range(1, K + 1):
+        for n in range(max(k + 1, 2), N):
+            l1 = float(ngg.t_l1(R, n, k))
+            np.testing.assert_allclose(
+                l1, np.exp(tab[k - 1, n] - tab[k - 1, n - 1]), rtol=1e-7)
+            l2 = float(ngg.t_l2(R, n, k, A))
+            want = np.exp(tab[k - 1, n - 2] - tab[k - 1, n - 1]) + (k - n / A)
+            np.testing.assert_allclose(l2, want, rtol=2e-6, atol=1e-8,
+                                       err_msg=f"k={k} n={n}")
+
+
 def test_ratio_table_large_n_stable():
     # auto switches to the quadrature method at large n, which stays
     # finite and positive far beyond where the alternating sum dies
