@@ -127,7 +127,7 @@ def single_table_throughput(oh: float, n: int = 1 << 20, m: int = 1024,
         for _ in range(k):
             v, s, _ = sp.fill_table_cols(a0 + c * 1e-30, n, m,
                                          interpret=interp)
-            c = c + (v[-1, -1] + s[-1, -1]) * 1e-30
+            c = c + (v[(-1,) * v.ndim] + s[(-1,) * s.ndim]) * 1e-30
         return c
 
     a0 = jnp.float32(0.5)

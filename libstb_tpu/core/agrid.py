@@ -74,6 +74,13 @@ class AGridTable:
     # debugging tag for reports/errors (S_tag, stable.h:137-138)
     tag: str = dataclasses.field(default="", metadata=dict(static=True))
 
+    @property
+    def _a_sign(self) -> str:
+        """Static asymptote-branch selector: the grid's discounts span
+        [a0, a0 + da (G-1)] and queries interpolate within it, so a0 > 0
+        makes every effective discount positive at trace time."""
+        return "pos" if self.a0 > 0 else "any"
+
     def _hard_n(self) -> int:
         return self.max_n if self.max_n else self.n_max
 
@@ -127,7 +134,8 @@ class AGridTable:
             af = jnp.asarray(a, dt)
             lga1 = jax.lax.lgamma(1.0 - af)
             asy = stirling.s_asympt(af, lga1, jnp.maximum(n, 1).astype(dt),
-                                    jnp.maximum(m, 1).astype(dt))
+                                    jnp.maximum(m, 1).astype(dt),
+                                    a_sign=self._a_sign)
             acc = jnp.where(in_tab, acc, asy.astype(dt))
         else:
             acc = jnp.where(in_tab, acc, -jnp.inf)
@@ -154,7 +162,8 @@ class AGridTable:
             af = jnp.asarray(a, dt)
             lga1 = jax.lax.lgamma(1.0 - af)
             asy = stirling.s_asympt(af, lga1, jnp.maximum(n, 1).astype(dt),
-                                    jnp.maximum(m, 1).astype(dt))
+                                    jnp.maximum(m, 1).astype(dt),
+                                    a_sign=self._a_sign)
             acc = jnp.where(in_tab, acc, (asy - self.S1(n, a)).astype(dt))
         else:
             acc = jnp.where(in_tab, acc, -jnp.inf)
@@ -200,7 +209,8 @@ class AGridTable:
         if self.use_asympt:
             asy = stirling.v_asympt(jnp.asarray(a, dt),
                                     jnp.maximum(n, 2).astype(dt),
-                                    jnp.maximum(m, 2).astype(dt)).astype(dt)
+                                    jnp.maximum(m, 2).astype(dt),
+                                    a_sign=self._a_sign).astype(dt)
             acc = jnp.where(in_tab, acc, jnp.where(n > self.n_max, asy, 0.0))
         else:
             acc = jnp.where(in_tab, acc, 0.0)

@@ -157,23 +157,31 @@ def fill_rows(a, n_max: int, m_max: int, dtype=jnp.float32, with_srel: bool = Tr
 # Asymptotes (stable.c:1057-1084 Hutter / Hwang; stable.c:905-912 for V)
 # ---------------------------------------------------------------------------
 
-def s_asympt(a, lga1, n, m):
+def s_asympt(a, lga1, n, m, a_sign: str = "any"):
     """log S^n_{m,a} asymptote for n beyond table bounds.
 
     a>0: Hutter's  Gamma(n) / (Gamma(1-a) Gamma(m) a^{m-1} n^a) with the
     (m-1)log(1-n^-a) refinement (stable.c:1066-1083); a==0: Hwang 2001
     (stable.c:1059-1065).  ``lga1`` = lgamma(1-a) precomputed.
     Inputs n, m may be arrays (float).
+
+    ``a_sign``: "pos"/"zero" statically selects the branch when the sign
+    of ``a`` is known at trace time (tables store it) -- the unused
+    branch otherwise costs two vectorised lgammas per query element,
+    which dominated the in-jit sweep hot path.
     """
     n = jnp.asarray(n, jnp.result_type(float))
     m = jnp.asarray(m, n.dtype)
     a = jnp.asarray(a, n.dtype)
     ln = jnp.log(n)
-    # a == 0 (Hwang)
-    hwang = (jax.lax.lgamma(n) + (m - 1.0) * jnp.log(ln) - jax.lax.lgamma(m)
-             - jax.lax.lgamma(1.0 + (m - 1.0) / ln))
+    if a_sign != "pos":
+        # a == 0 (Hwang)
+        hwang = (jax.lax.lgamma(n) + (m - 1.0) * jnp.log(ln)
+                 - jax.lax.lgamma(m) - jax.lax.lgamma(1.0 + (m - 1.0) / ln))
+        if a_sign == "zero":
+            return hwang
     # a > 0 (Hutter)
-    safe_a = jnp.where(a > 0, a, 1.0)
+    safe_a = jnp.where(a > 0, a, 1.0) if a_sign != "pos" else a
     npow = jnp.exp(-safe_a * ln)
     base = (jax.lax.lgamma(n) - lga1 - jax.lax.lgamma(m)
             - (m - 1.0) * jnp.log(safe_a) - safe_a * ln)
@@ -183,19 +191,26 @@ def s_asympt(a, lga1, n, m):
         -(m - 1.0) * npow * (1.0 + npow * (0.5 + npow / 3.0)),
         (m - 1.0) * jnp.log1p(-jnp.where(small, 0.0, npow)),
     )
+    if a_sign == "pos":
+        return base + corr
     return jnp.where(a > 0, base + corr, hwang)
 
 
-def v_asympt(a, n, m):
-    """V ratio asymptote for n > maxN (stable.c:905-912)."""
+def v_asympt(a, n, m, a_sign: str = "any"):
+    """V ratio asymptote for n > maxN (stable.c:905-912); ``a_sign`` as
+    in s_asympt."""
     n = jnp.asarray(n, jnp.result_type(float))
     m = jnp.asarray(m, n.dtype)
     a = jnp.asarray(a, n.dtype)
-    safe_a = jnp.where(a > 0, a, 1.0)
-    pos = (1.0 - jnp.exp(-safe_a * jnp.log(n))) / safe_a / (m - 1.0)
+    if a_sign == "pos":
+        return (1.0 - jnp.exp(-a * jnp.log(n))) / a / (m - 1.0)
     ln = jnp.log(n)
     zero = ln / (m - 1.0) * jnp.exp(
         jax.lax.lgamma(1.0 + (m - 2.0) / ln) - jax.lax.lgamma(1.0 + (m - 1.0) / ln))
+    if a_sign == "zero":
+        return zero
+    safe_a = jnp.where(a > 0, a, 1.0)
+    pos = (1.0 - jnp.exp(-safe_a * jnp.log(n))) / safe_a / (m - 1.0)
     return jnp.where(a > 0, pos, zero)
 
 
@@ -217,11 +232,13 @@ class StirlingTable:
     the point gathers the samplers make):
 
     * ``scan_chunks == 0``: natural (N, M) row-major arrays.
-    * ``scan_chunks  > 0``: vtab/srel are (M, n_pad) column-major and
-      n-permuted as produced by ops/stirling_pallas.fill_table_cols (the
-      fast single-table fill; natural row i lives at flat position
-      ``scan_pos(i)``); queries remap indices, so lookups cost the same
-      gather either way and the fill avoids a whole-table transpose.
+    * ``scan_chunks  > 0``: vtab/srel keep the raw 4-D
+      (M, H, scan_chunks//128, 128) column-major n-permuted layout of
+      ops/stirling_pallas.fill_table_cols (the fast single-table fill;
+      natural row i of column j lives at ``[j, *decomposed scan_pos(i)]``,
+      see _cell); queries remap indices, so lookups cost the same gather
+      either way and the fill avoids both a whole-table transpose and
+      the relayout copy a flattening reshape would cost.
     """
     a: jax.Array               # scalar, the discount
     lga1: jax.Array            # scalar, lgamma(1-a)
@@ -242,13 +259,39 @@ class StirlingTable:
     # stable.h:137-138; used at stable.c:105-108, 915-917 to identify
     # which of several tables hit a bound)
     tag: str = dataclasses.field(default="", metadata=dict(static=True))
+    # sign of the (concrete-at-make) discount, so in-jit queries pick the
+    # Hutter vs Hwang asymptote branch statically instead of evaluating
+    # both (None = unknown, evaluate both)
+    a_pos: Optional[bool] = dataclasses.field(default=None,
+                                              metadata=dict(static=True))
+    # folded layout: >0 means vtab/srel are (N, fold, m_max // fold) as
+    # produced by stirling_pallas.fill_table(fold_raw=True) -- column j
+    # lives at [:, j // L, j % L]; avoids the relayout copy a (N, M)
+    # reshape costs on TPU (mutually exclusive with scan_chunks)
+    fold: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def _a_sign(self) -> str:
+        if self.a_pos is None:
+            return "any"
+        return "pos" if self.a_pos else "zero"
 
     def _cell(self, tab, i, j):
-        """tab[natural row i, natural col j] under either layout."""
+        """tab[natural row i, natural col j] under either layout.
+
+        Scan layout is the kernel's raw 4-D (M, H, S, 128) output --
+        flattening it to (M, n_pad) is a full relayout copy on TPU
+        (see fill_table_cols), so queries decompose the flat position
+        scan_pos(i) = (i % H) * C + (i // H) into (h, sublane, lane)
+        instead: all three divisors are powers of two, so the index
+        arithmetic is shifts."""
         if self.scan_chunks:
             h = self.n_pad // self.scan_chunks
-            pos = (i % h) * self.scan_chunks + i // h
-            return tab[j, pos]
+            c = i // h
+            return tab[j, i % h, c // 128, c % 128]
+        if self.fold:
+            L = self.m_max // self.fold
+            return tab[i, j // L, j % L]
         return tab[i, j]
 
     # -- queries ------------------------------------------------------------
@@ -283,7 +326,8 @@ class StirlingTable:
             body = jnp.full(jnp.broadcast_shapes(n.shape, m.shape), -jnp.inf, dt)
         if self.use_asympt:
             asy = s_asympt(self.a.astype(dt), self.lga1.astype(dt),
-                           jnp.maximum(n, 1).astype(dt), jnp.maximum(m, 1).astype(dt))
+                           jnp.maximum(n, 1).astype(dt), jnp.maximum(m, 1).astype(dt),
+                           a_sign=self._a_sign)
             body = jnp.where(in_tab, body, asy.astype(dt))
         else:
             body = jnp.where(in_tab, body, -jnp.inf)
@@ -322,7 +366,8 @@ class StirlingTable:
         in_tab = (n <= self.n_max) & (m <= self.m_max)
         if self.use_asympt:
             asy = v_asympt(self.a.astype(dt), jnp.maximum(n, 2).astype(dt),
-                           jnp.maximum(m, 2).astype(dt)).astype(dt)
+                           jnp.maximum(m, 2).astype(dt),
+                           a_sign=self._a_sign).astype(dt)
             body = jnp.where(in_tab, body, jnp.where(n > self.max_n, asy, 0.0))
         else:
             body = jnp.where(in_tab, body, 0.0)
@@ -418,7 +463,7 @@ def make(init_n: int, init_m: int, max_n: int, max_m: int, a: float,
         # so only worth it once the pad is negligible
         use_cols = (use_pallas and build_v and init_n >= (1 << 16)
                     and init_n < (1 << 24))
-    scan_chunks = n_pad = 0
+    scan_chunks = n_pad = fold = 0
     if use_cols:
         from ..ops import stirling_pallas
         scan_chunks = 4096
@@ -429,9 +474,12 @@ def make(init_n: int, init_m: int, max_n: int, max_m: int, a: float,
         from ..ops import stirling_pallas
         if init_m % 8 == 0:
             # folded single-table kernel: all 8 sublanes on one table
-            # (ops/stirling_pallas.fill_table)
+            # (ops/stirling_pallas.fill_table); raw layout -- the (N, M)
+            # reshape is a relayout copy on TPU
+            fold = 8
             vtab, srel = stirling_pallas.fill_table(
-                a, init_n, init_m, with_srel=build_s, dtype=dtype)
+                a, init_n, init_m, with_srel=build_s, dtype=dtype,
+                fold_raw=True)
         else:
             v_g, s_g = stirling_pallas.fill_grid(
                 jnp.asarray([a], dtype), init_n, init_m, with_srel=build_s,
@@ -447,7 +495,8 @@ def make(init_n: int, init_m: int, max_n: int, max_m: int, a: float,
         vtab=vtab if build_v else None,
         srel=srel if build_s else None,
         n_max=init_n, m_max=init_m, max_n=max_n, max_m=max_m,
-        use_asympt=use_asympt, scan_chunks=scan_chunks, n_pad=n_pad, tag=tag)
+        use_asympt=use_asympt, scan_chunks=scan_chunks, n_pad=n_pad, tag=tag,
+        a_pos=(a > 0.0), fold=fold)
 
 
 def remake(table: StirlingTable, a: float) -> StirlingTable:
@@ -508,7 +557,7 @@ def ensure(table: StirlingTable, n: int, m: int,
     on_tpu = jax.default_backend() == "tpu"
     if (new_m == table.m_max and new_n > table.n_max
             and table.vtab is not None and not table.scan_chunks
-            and not (on_tpu and new_n >= 4096)):
+            and not table.fold and not (on_tpu and new_n >= 4096)):
         # resume from the last filled row (the frontier path,
         # stable.c:357-368): refill only rows n_max..new_n.  Only worth
         # it off-TPU: on the chip a full Pallas refill at the new size

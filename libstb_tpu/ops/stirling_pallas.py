@@ -439,15 +439,19 @@ def _kernel_folded(a_ref, v_ref, srel_ref, carry_ref, rcarry_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("n_max", "m_max", "row_block", "with_srel", "dtype",
-                     "interpret"))
+                     "interpret", "fold_raw"))
 def fill_table(a, n_max: int, m_max: int, row_block: int | None = None,
                with_srel: bool = True, dtype=jnp.float32,
-               interpret: bool = False):
+               interpret: bool = False, fold_raw: bool = False):
     """Fill ONE table's V (and Srel) at discount ``a`` to (n_max, m_max).
 
     Returns (vtab, srel) shaped (n_max, m_max), same layout/invariants as
-    stirling.fill_rows (the oracle in tests/test_pallas.py).  m_max must
-    be a multiple of 8; multiples of 1024 give full (8, 128) tiles.
+    stirling.fill_rows (the oracle in tests/test_pallas.py); with
+    ``fold_raw=True`` the kernel's raw (n_max, 8, m_max//8) folded layout
+    is returned instead, skipping the (n, m) reshape, which on TPU is a
+    full relayout copy (the production path -- see the return site).
+    m_max must be a multiple of 8; multiples of 1024 give full (8, 128)
+    tiles.
 
     This is the BASELINE north-star path (fill to n=10^6 at >80% of the
     HBM roofline): unlike fill_grid at G=1, the folded layout keeps all 8
@@ -505,6 +509,13 @@ def fill_table(a, n_max: int, m_max: int, row_block: int | None = None,
         vtab, srel = outs
     else:
         vtab, srel = outs, None
+    if fold_raw:
+        # keep the kernel's (n, _FOLD, L) layout: the (n, m) reshape below
+        # is NOT free on TPU -- XLA materialises it as a relayout copy
+        # (copy_bitcast_fusion, ~2x the fill's own HBM write traffic).
+        # Column j lives at [:, j // L, j % L]; StirlingTable._cell
+        # handles the decomposition (fold layout).
+        return vtab[:n_max], srel[:n_max] if srel is not None else None
     vtab = vtab.reshape(n_pad, m_max)[:n_max]
     srel = srel.reshape(n_pad, m_max)[:n_max] if srel is not None else None
     return vtab, srel
@@ -586,8 +597,13 @@ def scan_pos(i, n_pad: int, chunks: int):
 
 
 def unfold_cols(tab, n_max: int, chunks: int):
-    """(M, n_pad) column-major permuted table -> natural (n_max, M)."""
-    m, n_pad = tab.shape
+    """Column-major permuted table -> natural (n_max, M).  Accepts the
+    kernel's raw (M, H, S, 128) output or a flattened (M, n_pad) view
+    (oracle/test path; on TPU the flatten is a relayout copy, which is
+    exactly why the production table keeps the 4-D layout)."""
+    m = tab.shape[0]
+    tab = tab.reshape(m, -1)
+    n_pad = tab.shape[1]
     h = n_pad // chunks
     return tab.reshape(m, h, chunks).transpose(2, 1, 0).reshape(n_pad, m)[
         :n_max]
@@ -614,7 +630,7 @@ def _lin_shift(x, k: int, sub, lane):
 
 def _kernel_cols(a_ref, v_ref, srel_ref, carry_b, acc_a, acc_b, sacc_ref,
                  scomp_ref, *, h_len: int, s_sub: int, with_srel: bool,
-                 kahan: bool):
+                 kahan: bool, debug_srel: str = "full"):
     """One grid step = one column m = j+1 for all n at once (v3, fused).
 
     a_ref: (1,) SMEM, the discount.
@@ -640,21 +656,6 @@ def _kernel_cols(a_ref, v_ref, srel_ref, carry_b, acc_a, acc_b, sacc_ref,
     # steady-state loop body stays uniform
     u = _UNROLL if h_len % _UNROLL == 0 and h_len > _UNROLL else 1
     nblk = H // u
-
-    def srel_step(h, lg):
-        """Kahan (or plain) add of log V into the along-m accumulator;
-        -inf above the diagonal propagates with the compensation zeroed
-        so it never turns NaN."""
-        if kahan:
-            comp = scomp_ref[h]
-            y = lg - comp
-            t = sacc_ref[h] + y
-            scomp_ref[h] = jnp.where(jnp.isfinite(t),
-                                     (t - sacc_ref[h]) - y, 0.0)
-        else:
-            t = sacc_ref[h] + lg
-        sacc_ref[h] = t
-        srel_ref[0, h] = t
 
     @pl.when(j == 0)
     def _():
@@ -704,19 +705,46 @@ def _kernel_cols(a_ref, v_ref, srel_ref, carry_b, acc_a, acc_b, sacc_ref,
 
     @pl.when(j > 0)
     def _():
+        if debug_srel in ("b0", "b1"):
+            # bisect modes: barest j>0 body -- block loop with the same
+            # load/store streams only (b1 adds the (S,128) carry tuple
+            # and the peeled first block)
+            def bare(rb, st):
+                ds = pl.ds(rb * u, u)
+                blk = carry_b[ds]
+                out = blk * 1.0001
+                v_ref[0, ds] = out
+                srel_ref[0, ds] = out
+                carry_b[ds] = out
+                if debug_srel == "b1":
+                    v, cB, aac, bac = st
+                    return (v * 0.999 + out[0], cB + 1.0, aac * 0.999,
+                            bac + out[u - 1])
+                return st
+            if debug_srel == "b1":
+                st0 = (jnp.zeros((S, L), dt), jnp.zeros((S, L), dt) + 1.0,
+                       jnp.zeros((S, L), dt) + 1.0, jnp.zeros((S, L), dt))
+                st = bare(0, st0)
+                st = jax.lax.fori_loop(1, nblk, bare, st)
+                acc_a[:] = st[2]
+                acc_b[:] = st[3]
+            else:
+                jax.lax.fori_loop(0, nblk, bare, 0)
+            return
         jf = j.astype(dt)
         # ---- pass A: compose-scan over chunk maps (linear chunk order);
         # the per-chunk maps were fused into the previous column's replay
-        k = 1
         aacc = acc_a[:]
         bacc = acc_b[:]
-        while k < S * L:
-            a_s = _lin_shift(aacc, k, sub2, lane2)
-            b_s = _lin_shift(bacc, k, sub2, lane2)
-            ok = cidx >= k
-            aacc, bacc = (jnp.where(ok, aacc * a_s, aacc),
-                          jnp.where(ok, aacc * b_s + bacc, bacc))
-            k *= 2
+        if debug_srel != "nopassa":              # ablation: skip the scan
+            k = 1
+            while k < S * L:
+                a_s = _lin_shift(aacc, k, sub2, lane2)
+                b_s = _lin_shift(bacc, k, sub2, lane2)
+                ok = cidx >= k
+                aacc, bacc = (jnp.where(ok, aacc * a_s, aacc),
+                              jnp.where(ok, aacc * b_s + bacc, bacc))
+                k *= 2
         # carry INTO chunk c = inclusive map of chunks < c applied to
         # v(row -1) = 0  ->  just the exclusive-scan B
         v_in = jnp.where(c0mask, 0.0, _lin_shift(bacc, 1, sub2, lane2))
@@ -726,42 +754,80 @@ def _kernel_cols(a_ref, v_ref, srel_ref, carry_b, acc_a, acc_b, sacc_ref,
         # Register carries per chunk: cB = r - (j+1) a, which is BOTH the
         # current column's slope coefficient (A = cB B, since m = j+1)
         # and the next column's denominator coefficient c1' = r - (m'-1)a.
+        #
+        # VMEM access structure (v4): the replay's per-row slab accesses
+        # are BATCHED u rows at a time -- one (u, S, L) load of the B
+        # offsets, one store each for V / new-B / Srel / Kahan state per
+        # unrolled block.  Measured on v5e (tools/vpu_probe.py): a single
+        # dynamic (S, 128) slab access costs ~5.5-6.4 ns while the same
+        # access batched 8-wide costs ~3.0 ns/tile, and the v3 kernel's 8
+        # single accesses per row were the dominant cost (V-only 19 us/col
+        # vs V+Srel 39 us/col, ALU model ~18 ns/row).  The row registers
+        # within a block are stacked/unstacked for free (vreg aliasing).
         c_h = (cidx * H).astype(dt)              # chunk-start row r
         cB0 = c_h - (jf + 1.0) * a0
 
-        def one_row(h, st, force0=False):
+        def block(rb, st, first=False):
             v, cB, aac, bac = st
-            bq = carry_b[h]
-            num = cB * v + 1.0
-            v_new = num * bq                     # A v + B = B (cB v + 1)
-            v_ref[0, h] = v_new
-            # emit next column's offset from the in-register left value:
-            # bn = v / num via approximate reciprocal + 2 Newton steps
-            # (err ~1e-7 rel on hw, below the f32 recurrence noise; the
-            # builtin divide lowers to a longer guarded sequence)
-            r = pl.reciprocal(num, approx=True)
-            r = r * (2.0 - num * r)
-            r = r * (2.0 - num * r)
-            bn = v * r
-            if force0:
-                bn = jnp.where(c0mask, 0.0, bn)
-            carry_b[h] = bn
-            an = (cB - a0) * bn                  # next col slope coeff
-            aac, bac = an * aac, an * bac + bn
-            if with_srel:
-                srel_step(h, jnp.log(v_new))
-            return v_new, cB + 1.0, aac, bac
-
-        def replay(i, st):
+            off = pl.multiple_of(rb * u, u)
+            bq_blk = carry_b[pl.ds(off, u)]      # one (u, S, L) load
+            if debug_srel == "noalu":            # ablation: structure only
+                vblk = bq_blk * 1.0001
+                v_ref[0, pl.ds(off, u)] = vblk
+                carry_b[pl.ds(off, u)] = vblk
+                srel_ref[0, pl.ds(off, u)] = vblk
+                return vblk[u - 1], cB + float(u), aac, bac
+            v_list, bn_list = [], []
             for q in range(u):
-                st = one_row(i * u + q, st)
-            return st
+                bq = bq_blk[q]
+                # v_new = B (cB v + 1) = (cB bq) v + bq: slope cB*bq is
+                # off the row-to-row chain, so the serial dependence is
+                # one fma per row
+                v_new = (cB * bq) * v + bq
+                num = cB * v + 1.0               # off-chain, feeds bn
+                # bn = v / num via approximate reciprocal + 2 Newton
+                # steps (err ~1e-7 rel on hw, below the f32 recurrence
+                # noise; the builtin divide measures 4x slower than
+                # recip+Newton on v5e -- tools/vpu_probe.py)
+                r = pl.reciprocal(num, approx=True)
+                r = r * (2.0 - num * r)
+                r = r * (2.0 - num * r)
+                bn = v * r
+                if first and q == 0:
+                    bn = jnp.where(c0mask, 0.0, bn)
+                an = (cB - a0) * bn              # next col slope coeff
+                aac, bac = an * aac, an * bac + bn
+                v_list.append(v_new)
+                bn_list.append(bn)
+                v = v_new
+                cB = cB + 1.0
+            vblk = jnp.stack(v_list)
+            v_ref[0, pl.ds(off, u)] = vblk
+            carry_b[pl.ds(off, u)] = jnp.stack(bn_list)
+            if with_srel:
+                if debug_srel == "copy":         # ablation: store cost only
+                    srel_ref[0, pl.ds(off, u)] = vblk
+                    return v, cB, aac, bac
+                lg = jnp.log(vblk)               # batched (u, S, L) log
+                if debug_srel == "log":          # ablation: + log cost
+                    srel_ref[0, pl.ds(off, u)] = lg
+                    return v, cB, aac, bac
+                sacc = sacc_ref[pl.ds(off, u)]
+                if kahan:
+                    comp = scomp_ref[pl.ds(off, u)]
+                    y = lg - comp
+                    t = sacc + y
+                    scomp_ref[pl.ds(off, u)] = jnp.where(
+                        jnp.isfinite(t), (t - sacc) - y, 0.0)
+                else:
+                    t = sacc + lg
+                sacc_ref[pl.ds(off, u)] = t
+                srel_ref[0, pl.ds(off, u)] = t
+            return v, cB, aac, bac
 
         st = (v_in, cB0, jnp.zeros((S, L), dt) + 1.0, jnp.zeros((S, L), dt))
-        st = one_row(0, st, force0=True)
-        for q in range(1, u):
-            st = one_row(q, st)
-        _, _, aacc2, bacc2 = jax.lax.fori_loop(1, nblk, replay, st)
+        st = block(0, st, first=True)
+        _, _, aacc2, bacc2 = jax.lax.fori_loop(1, nblk, block, st)
         acc_a[:] = aacc2
         acc_b[:] = bacc2
 
@@ -769,19 +835,24 @@ def _kernel_cols(a_ref, v_ref, srel_ref, carry_b, acc_a, acc_b, sacc_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("n_max", "m_max", "chunks", "with_srel", "kahan",
-                     "dtype", "interpret"))
+                     "dtype", "interpret", "debug_srel"))
 def fill_table_cols(a, n_max: int, m_max: int, chunks: int = _SCAN_C,
                     with_srel: bool = True, kahan: bool = True,
-                    dtype=jnp.float32, interpret: bool = False):
+                    dtype=jnp.float32, interpret: bool = False,
+                    debug_srel: str = "full"):
     """Fill ONE table at discount ``a`` by the column-sequential chunked
     parallel scan (see the block comment above).
 
-    Returns (vtab, srel, n_pad): arrays of shape (m_max, n_pad) in the
-    COLUMN-MAJOR, n-permuted layout -- natural row i lives at flat
-    position scan_pos(i, n_pad, chunks); unfold_cols() restores the
-    (n, m) layout.  ``chunks`` must be a multiple of 128 (the lane
-    count); n is padded to a multiple of it.  f32 row indexing limits
-    n_max to < 2^24.
+    Returns (vtab, srel, n_pad): arrays in the kernel's raw 4-D
+    (m_max, H, chunks//128, 128) COLUMN-MAJOR, n-permuted layout --
+    natural row i of column j lives at flat position
+    scan_pos(i, n_pad, chunks) of the (m_max, n_pad) flattened view,
+    i.e. index [j, i % H, (i//H) // 128, (i//H) % 128]; unfold_cols()
+    restores the (n, m) layout.  The 4-D layout is deliberate: a
+    .reshape(m_max, n_pad) on TPU is a full relayout copy (~2x the
+    fill's own HBM traffic), see the return-site comment.  ``chunks``
+    must be a multiple of 128 (the lane count); n is padded to a
+    multiple of it.  f32 row indexing limits n_max to < 2^24.
     """
     if chunks % 128:
         raise ValueError(f"chunks={chunks} must be a multiple of 128")
@@ -807,12 +878,14 @@ def fill_table_cols(a, n_max: int, m_max: int, chunks: int = _SCAN_C,
         if kahan:
             scratch.append(pltpu.VMEM((H, S, 128), dtype))
         kernel = functools.partial(_kernel_cols, h_len=H, s_sub=S,
-                                   with_srel=True, kahan=kahan)
+                                   with_srel=True, kahan=kahan,
+                                   debug_srel=debug_srel)
         if not kahan:
             def kernel(a_ref, v_ref, srel_ref, cb, aa, ab, sa):  # noqa: F811
                 return _kernel_cols(a_ref, v_ref, srel_ref, cb, aa, ab, sa,
                                     None, h_len=H, s_sub=S,
-                                    with_srel=True, kahan=False)
+                                    with_srel=True, kahan=False,
+                                    debug_srel=debug_srel)
     else:
         def kernel(a_ref, v_ref, cb, aa, ab):
             return _kernel_cols(a_ref, v_ref, None, cb, aa, ab, None, None,
@@ -840,6 +913,11 @@ def fill_table_cols(a, n_max: int, m_max: int, chunks: int = _SCAN_C,
         vtab, srel = outs
     else:
         vtab, srel = outs, None
-    vtab = vtab.reshape(m_max, n_pad)
-    srel = srel.reshape(m_max, n_pad) if srel is not None else None
+    # Returned in the kernel's raw 4-D layout (m_max, H, S, 128): the
+    # obvious .reshape(m_max, n_pad) is NOT free here -- XLA materialises
+    # it as a full relayout copy (copy_bitcast_fusion, ~8 GB of extra HBM
+    # traffic at the (2^20, 1024) north-star shape, measured 26 of the
+    # 39 ms/fill in round 4).  Queries index the 4-D layout directly
+    # (StirlingTable._cell); natural row i of column j lives at
+    # [j, i % H, (i // H) // 128, (i // H) % 128].
     return vtab, srel, n_pad

@@ -147,10 +147,15 @@ def test_cols_scan_pos_layout():
     vt_p, _, n_pad = sp.fill_table_cols(0.3, N, M, chunks=chunks,
                                         interpret=True)
     vt = np.asarray(sp.unfold_cols(vt_p, N, chunks))
-    vt_p = np.asarray(vt_p)
+    vt_flat = np.asarray(vt_p).reshape(vt_p.shape[0], -1)
+    H = n_pad // chunks
     for i in (0, 1, 5, 127, 128, 199):
         pos = sp.scan_pos(i, n_pad, chunks)
-        np.testing.assert_array_equal(vt_p[:, pos], vt[i, :])
+        np.testing.assert_array_equal(vt_flat[:, pos], vt[i, :])
+        # 4-D decomposition used by StirlingTable._cell
+        c = i // H
+        np.testing.assert_array_equal(
+            np.asarray(vt_p)[:, i % H, c // 128, c % 128], vt[i, :])
 
 
 def test_cols_diagonal_is_minus_s1():

@@ -180,7 +180,9 @@ def test_cols_layout_table_queries():
                         use_pallas=False)
     cols = stirling.make(300, 40, 400, 64, 0.37, use_asympt=True,
                          use_pallas=False, use_cols=True, interpret=True)
-    assert cols.scan_chunks > 0 and cols.vtab.shape == (40, cols.n_pad)
+    assert cols.scan_chunks > 0
+    assert cols.vtab.shape == (40, cols.n_pad // cols.scan_chunks,
+                               cols.scan_chunks // 128, 128)
     rng = np.random.default_rng(0)
     n = rng.integers(1, 300, 200)
     m = np.minimum(rng.integers(1, 40, 200), n)
@@ -224,3 +226,29 @@ def test_tag_in_report_and_bound_errors():
     with pytest.raises(ValueError, match="untagged"):
         stirling.make(64, 16, 128, 32, 0.5, build_s=False, build_v=False,
                       tag="untagged")
+
+
+def test_fold_layout_table_queries():
+    """The folded (N, 8, M//8) raw layout (fill_table fold_raw=True, the
+    TPU production path that skips the relayout-copy reshape) must answer
+    every query identically to a natural-layout table."""
+    import dataclasses as dc
+
+    from libstb_tpu.ops import stirling_pallas as sp
+
+    nat = stirling.make(256, 40, 400, 64, 0.37, use_asympt=True,
+                        use_pallas=False)
+    vt3, sr3 = sp.fill_table(0.37, 256, 40, row_block=32, interpret=True,
+                             fold_raw=True)
+    assert vt3.shape == (256, 8, 5)
+    fold = dc.replace(nat, vtab=vt3, srel=sr3, fold=8)
+    rng = np.random.default_rng(3)
+    n = rng.integers(1, 256, 200)
+    m = np.minimum(rng.integers(1, 40, 200), n)
+    for q in ("S", "Srel", "V", "U"):
+        a = np.asarray(getattr(nat, q)(n, m))
+        b = np.asarray(getattr(fold, q)(n, m))
+        fin = np.isfinite(a)
+        np.testing.assert_array_equal(np.isfinite(b), fin, err_msg=q)
+        np.testing.assert_allclose(b[fin], a[fin], rtol=2e-4, atol=2e-4,
+                                   err_msg=q)
