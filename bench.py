@@ -189,10 +189,13 @@ def sweep_throughput(oh: float, chains: int = 32, sweeps: int = 4):
         k, st[0], st[1], a, b, tab, data, window=10), (t0_, T0_))
     # pair-major TI, count-staged schedule: state stays pair-major (in
     # descending-count order) across sweeps; the conversion is once per
-    # run in production (models/pyp.ti_sweep_pairs)
+    # run in production (models/pyp.ti_sweep_pairs).  m_sel enables the
+    # gather-free V row-selection path (pyp.ti_pair_m_sel).
     tp0 = t0_[:, jv, iv]
+    m_sel = pyp.ti_pair_m_sel(tab, nvec)
     ti = timed(lambda k, st: pyp.ti_sweep_pairs_staged(
-        k, st[0], st[1], a, b, tab, data, jv, iv, nv, stages), (tp0, T0_))
+        k, st[0], st[1], a, b, tab, data, jv, iv, nv, stages,
+        m_sel=m_sel), (tp0, T0_))
     return L, ctw, ti
 
 

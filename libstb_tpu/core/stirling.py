@@ -373,6 +373,41 @@ class StirlingTable:
             body = jnp.where(in_tab, body, 0.0)
         return jnp.where((m < 2) | (n < m), jnp.zeros((), dt), body)
 
+    def V_rows(self, n, m_sel: int):
+        """V(n[p], m) for m = 1..m_sel as a dense (P, m_sel) block.
+
+        TPU gathers are scalar-unit-bound (~100 M elem/s measured --
+        tools/ti_profile.py), so samplers whose Stirling ROW is fixed
+        per lane (the pair-major TI sweep: n = pair count, only m moves)
+        extract their rows ONCE via a one-hot matmul on the MXU and then
+        select within rows with a fused compare-reduce, instead of
+        issuing a (chains x pairs) gather every Gibbs round.
+
+        Requires n <= n_max and m_sel <= m_max (callers gate on the
+        static host-side counts); supports the natural and folded
+        layouts (a scan-layout table cannot be row-extracted without a
+        relayout -- callers fall back to point gathers).
+        """
+        if self.vtab is None or self.scan_chunks:
+            raise ValueError("V_rows needs a vtab in natural or folded "
+                             "layout")
+        n = jnp.asarray(n)
+        dt = self.vtab.dtype
+        oh = jax.nn.one_hot(n - 1, self.n_max, dtype=dt)       # (P, N)
+        if self.fold:
+            L = self.m_max // self.fold
+            rows = jax.lax.dot_general(
+                oh, self.vtab, (((1,), (0,)), ((), ())),
+                preferred_element_type=dt)                     # (P, 8, L)
+            rows = rows.reshape(rows.shape[0], self.fold * L)[:, :m_sel]
+        else:
+            rows = jax.lax.dot_general(
+                oh, self.vtab[:, :m_sel], (((1,), (0,)), ((), ())),
+                preferred_element_type=dt)                     # (P, m_sel)
+        mvec = jnp.arange(1, m_sel + 1)
+        ok = (mvec[None, :] >= 2) & (mvec[None, :] <= n[:, None])
+        return jnp.where(ok, rows, 0.0)
+
     def U(self, n, m):
         """U^n_{m,a} = S^{n+1}_m / S^n_m  (S_U, stable.c:875-883)."""
         n = jnp.asarray(n)

@@ -37,7 +37,7 @@ _warned_cat_mode = False
 __all__ = ["crp_generate", "base_distribution", "init_state", "init_hsa",
            "ti_sweep", "ti_schedule", "ti_sweep_blocked", "ti_pair_layout",
            "ti_sweep_pairs", "ti_sweep_pairs_state", "ti_pair_stages",
-           "ti_sweep_pairs_staged", "ct_sweep",
+           "ti_sweep_pairs_staged", "ti_pair_m_sel", "ct_sweep",
            "ctw_sweep", "ctw_sweep_rel", "hsa_sweep", "PYPData"]
 
 Table = Union[agrid.AGridTable, stirling.StirlingTable]
@@ -388,10 +388,19 @@ def ti_pair_stages(nvec, skip_first: bool = True, min_pairs: int = 512):
 
 
 def _pairs_round(tab, H, nvec, oneh, jvec, a_c, b_c, skip_first: bool,
-                 legacy_odds: bool):
+                 legacy_odds: bool, vrows=None):
     """Build the per-round body shared by the flat and staged pair-major
     TI sweeps; all pair-axis arrays are already sliced to the active
-    prefix."""
+    prefix.
+
+    ``vrows``: optional (P, m_sel) dense V rows (StirlingTable.V_rows):
+    when given, the per-round V(n_p, t+1) lookup is a fused
+    compare-select-reduce along the m axis instead of a point gather.
+    TPU gathers run at ~100 M elem/s (scalar-unit-bound); the (C, P)
+    gather was measured at 660 of the 683 us/round of the check.c-scale
+    sweep (tools/ti_profile.py), while the selection reduce is a pure
+    VPU stream.
+    """
     dt = a_c.dtype
     nif = nvec.astype(dt)[None]                     # (1, P)
 
@@ -406,7 +415,14 @@ def _pairs_round(tab, H, nvec, oneh, jvec, a_c, b_c, skip_first: bool,
         u1 = jax.random.uniform(k1, tp.shape, dt)
         dec = (tp > 1) & ((nif - 1.0) * u1 < (tp - 1).astype(dt)) & valid
         ti2 = tp - dec
-        v = _vq(tab, nvec[None], ti2 + 1, a_c)
+        if vrows is not None:
+            # V(n_p, ti2+1) = vrows[p, ti2] (vrows col j holds m = j+1);
+            # ti2 >= 1 and the m > n / m < 2 zeros are baked into vrows
+            mr = jnp.arange(vrows.shape[1], dtype=ti2.dtype)
+            sel = ti2[:, :, None] == mr[None, None, :]
+            v = jnp.sum(jnp.where(sel, vrows[None], 0.0), axis=-1)
+        else:
+            v = _vq(tab, nvec[None], ti2 + 1, a_c)
         denom = (nif - ti2.astype(dt) + 1.0) if legacy_odds else jnp.maximum(
             nif - ti2.astype(dt), 1.0)
         one = (H[None] * (b_c + (Tj - dec) * a_c) * ti2.astype(dt)
@@ -424,11 +440,12 @@ def _pairs_round(tab, H, nvec, oneh, jvec, a_c, b_c, skip_first: bool,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("stages", "skip_first", "legacy_odds"))
+                   static_argnames=("stages", "skip_first", "legacy_odds",
+                                    "m_sel"))
 def ti_sweep_pairs_staged(key, tp, T, a, b, tab: Table, data: PYPData,
                           jvec, ivec, nvec, stages,
                           skip_first: bool = True,
-                          legacy_odds: bool = False):
+                          legacy_odds: bool = False, m_sel: int = 0):
     """Staged pair-major TI sweep: ``ti_sweep_pairs_state`` semantics with
     the pair axis PRE-SORTED by descending count (``ti_pair_stages``
     order) so late rounds touch only the still-active prefix.
@@ -444,6 +461,13 @@ def ti_sweep_pairs_staged(key, tp, T, a, b, tab: Table, data: PYPData,
     ``skip_first`` as passed here (the first stage's start round encodes
     it); a mismatch would silently skip or repeat round 0, so it is
     asserted at trace time.
+
+    ``m_sel`` > 0 (static, = max(count)+1) enables the gather-free V
+    path for fixed-a natural/folded StirlingTables: per-pair V rows are
+    extracted once per sweep on the MXU (StirlingTable.V_rows) and each
+    round selects within rows by a fused compare-reduce -- ~30x faster
+    than the per-round point gather at check.c scale (see _pairs_round).
+    The ``ti_sweep_pairs`` wrapper sets it automatically when legal.
     """
     if stages:
         assert stages[0][1] == (1 if skip_first else 0), (
@@ -457,10 +481,12 @@ def ti_sweep_pairs_staged(key, tp, T, a, b, tab: Table, data: PYPData,
     nvec = jnp.asarray(nvec)
     a_c = a[:, None]
     b_c = b[:, None]
+    vrows = tab.V_rows(nvec, m_sel) if m_sel else None
     for (p, r0, r1) in stages:
         round_ = _pairs_round(tab, Hfull[:p], nvec[:p],
                               jax.nn.one_hot(jvec[:p], J, dtype=dt),
-                              jvec[:p], a_c, b_c, skip_first, legacy_odds)
+                              jvec[:p], a_c, b_c, skip_first, legacy_odds,
+                              vrows=None if vrows is None else vrows[:p])
         (tps, T, key), _ = jax.lax.scan(
             round_, (tp[:, :p], T, key),
             jnp.arange(r0, r1, dtype=jnp.int32))
@@ -473,11 +499,12 @@ def ti_sweep_pairs_staged(key, tp, T, a, b, tab: Table, data: PYPData,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("steps", "skip_first", "legacy_odds"))
+                   static_argnames=("steps", "skip_first", "legacy_odds",
+                                    "m_sel"))
 def ti_sweep_pairs_state(key, tp, T, a, b, tab: Table, data: PYPData,
                          jvec, ivec, nvec, steps: int,
                          skip_first: bool = True,
-                         legacy_odds: bool = False):
+                         legacy_odds: bool = False, m_sel: int = 0):
     """Pair-major table-indicator sweep: the check.c-scale throughput
     kernel (check.c:843-867 at MAXDATA=10^5, check.c:83).
 
@@ -504,12 +531,35 @@ def ti_sweep_pairs_state(key, tp, T, a, b, tab: Table, data: PYPData,
     J = data.n.shape[0]
     H = jnp.asarray(data.H, dt)[ivec]               # (P,)
     nvec = jnp.asarray(nvec)
+    vrows = tab.V_rows(nvec, m_sel) if m_sel else None
     round_ = _pairs_round(tab, H, nvec, jax.nn.one_hot(jvec, J, dtype=dt),
                           jvec, a[:, None], b[:, None], skip_first,
-                          legacy_odds)
+                          legacy_odds, vrows=vrows)
     (tp, T, _), _ = jax.lax.scan(round_, (tp, T, key),
                                  jnp.arange(steps, dtype=jnp.int32))
     return tp, T
+
+
+def ti_pair_m_sel(tab: Table, nvec, cap: int = 4096) -> int:
+    """Static m_sel for the gather-free V path of the pair-major TI
+    sweeps, or 0 when it does not apply.
+
+    Legal when ``tab`` is a fixed-a StirlingTable in natural or folded
+    layout that covers every (n_p, t+1) query in-table (so the dense
+    row extraction agrees exactly with the gather path), and the row
+    length stays below ``cap`` (the selection reduce is O(m_sel) per
+    pair per round -- past a few thousand columns the point gather wins
+    back).
+    """
+    import numpy as _np
+    nvec = _np.asarray(nvec)
+    if (not isinstance(tab, stirling.StirlingTable) or tab.vtab is None
+            or tab.scan_chunks or len(nvec) == 0):
+        return 0
+    maxc = int(nvec.max())
+    if maxc + 1 > min(tab.m_max, cap) or maxc > tab.n_max:
+        return 0
+    return maxc + 1
 
 
 def ti_sweep_pairs(key, t, T, a, b, tab: Table, data: PYPData,
@@ -527,6 +577,7 @@ def ti_sweep_pairs(key, t, T, a, b, tab: Table, data: PYPData,
     if layout is None:
         layout = ti_pair_layout(data)
     jvec, ivec, nvec = layout
+    m_sel = ti_pair_m_sel(tab, nvec)
     if staged and len(nvec):
         order, stages = ti_pair_stages(nvec, skip_first=skip_first,
                                        min_pairs=min_pairs)
@@ -537,7 +588,7 @@ def ti_sweep_pairs(key, t, T, a, b, tab: Table, data: PYPData,
         tp, T = ti_sweep_pairs_staged(key, tp, T, a, b, tab, data, jv, iv,
                                       jnp.asarray(nvec), stages,
                                       skip_first=skip_first,
-                                      legacy_odds=legacy_odds)
+                                      legacy_odds=legacy_odds, m_sel=m_sel)
         return t.at[:, jv, iv].set(tp), T
     steps = int(nvec.max()) if len(nvec) else 0
     jv = jnp.asarray(jvec)
@@ -546,7 +597,7 @@ def ti_sweep_pairs(key, t, T, a, b, tab: Table, data: PYPData,
     tp, T = ti_sweep_pairs_state(key, tp, T, a, b, tab, data, jv, iv,
                                  jnp.asarray(nvec), steps,
                                  skip_first=skip_first,
-                                 legacy_odds=legacy_odds)
+                                 legacy_odds=legacy_odds, m_sel=m_sel)
     return t.at[:, jv, iv].set(tp), T
 
 

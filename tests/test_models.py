@@ -369,3 +369,38 @@ def test_ct_maxrel_bound(workload):
     se = np.sqrt(free.mean(0).std() ** 2 / free.shape[1]
                  + bounded.mean(0).std() ** 2 / bounded.shape[1])
     assert abs(mf - mb) < 5 * se + 0.1, (mf, mb, se)
+
+
+def test_ti_pairs_vrows_selection_matches_gather():
+    from libstb_tpu.core import stirling
+    """The gather-free V path (StirlingTable.V_rows + compare-reduce
+    selection, pyp.ti_pair_m_sel) must reproduce the point-gather path's
+    sweep EXACTLY (same keys, same kernel -- only the V lookup route
+    differs, and the dense rows are built from the same table)."""
+    data = pyp.crp_generate(seed=9, n_groups=8, dim=12, n_per_group=60,
+                            a=0.5, b=2.0)
+    n_max = int(data.n.max()) + 2
+    tab = stirling.make(n_max, n_max, n_max + 32, n_max + 32, 0.5)
+    C = 16
+    a = jnp.full((C,), 0.5, jnp.float32)
+    b = jnp.full((C,), 2.0, jnp.float32)
+    jvec, ivec, nvec = pyp.ti_pair_layout(data)
+    order, stages = pyp.ti_pair_stages(nvec, min_pairs=16)
+    jvec, ivec, nvec = jvec[order], ivec[order], nvec[order]
+    jv, iv, nv = jnp.asarray(jvec), jnp.asarray(ivec), jnp.asarray(nvec)
+    m_sel = pyp.ti_pair_m_sel(tab, nvec)
+    assert m_sel == int(nvec.max()) + 1
+    t0, T0 = pyp.init_state(data, C)
+    tp0 = t0[:, jv, iv]
+    key = jax.random.key(11)
+    tp_g, T_g = pyp.ti_sweep_pairs_staged(key, tp0, T0, a, b, tab, data,
+                                          jv, iv, nv, stages, m_sel=0)
+    tp_s, T_s = pyp.ti_sweep_pairs_staged(key, tp0, T0, a, b, tab, data,
+                                          jv, iv, nv, stages, m_sel=m_sel)
+    np.testing.assert_array_equal(np.asarray(tp_g), np.asarray(tp_s))
+    np.testing.assert_array_equal(np.asarray(T_g), np.asarray(T_s))
+    # V_rows itself against the query oracle
+    rows = np.asarray(tab.V_rows(nv, m_sel))
+    ms = np.arange(1, m_sel + 1)
+    want = np.asarray(tab.V(nv[:, None], jnp.asarray(ms)[None, :]))
+    np.testing.assert_allclose(rows, want, rtol=1e-6, atol=0)

@@ -79,7 +79,7 @@ def main():
           f"lane-slots/sweep={lanes} ({lanes/L:.2f}x items)",
           file=sys.stderr)
 
-    def timed(label, tab, key_impl=None):
+    def timed(label, tab, key_impl=None, m_sel=0):
         key = (jax.random.key(0) if key_impl is None
                else jax.random.key(0, impl=key_impl))
 
@@ -89,7 +89,8 @@ def main():
                 st, key = carry
                 key, k = jax.random.split(key)
                 st2 = pyp.ti_sweep_pairs_staged(
-                    k, st[0], st[1], a, b, tab, data, jv, iv, nv, stages)
+                    k, st[0], st[1], a, b, tab, data, jv, iv, nv, stages,
+                    m_sel=m_sel)
                 return (st2, key), None
             (st, _), _ = jax.lax.scan(body, (st, key), None, length=sweeps)
             return st
@@ -121,6 +122,8 @@ def main():
     tab = mk(True)
     if want("base"):
         timed("base", tab)
+    if want("vrows"):
+        timed("vrows", tab, m_sel=pyp.ti_pair_m_sel(tab, nvec))
     if want("noasympt"):
         timed("noasympt", mk(False))
     if want("rbg"):
