@@ -185,8 +185,10 @@ def sweep_throughput(oh: float, chains: int = 32, sweeps: int = 4):
         ts.sort()
         return chains * L * sweeps / ts[len(ts) // 2]
 
+    ctw_msel = pyp.ctw_m_sel(tab, data, window=10)
     ctw = timed(lambda k, st: pyp.ctw_sweep_rel(
-        k, st[0], st[1], a, b, tab, data, window=10), (t0_, T0_))
+        k, st[0], st[1], a, b, tab, data, window=10, m_sel=ctw_msel),
+        (t0_, T0_))
     # pair-major TI, count-staged schedule: state stays pair-major (in
     # descending-count order) across sweeps; the conversion is once per
     # run in production (models/pyp.ti_sweep_pairs).  m_sel enables the

@@ -408,6 +408,44 @@ class StirlingTable:
         ok = (mvec[None, :] >= 2) & (mvec[None, :] <= n[:, None])
         return jnp.where(ok, rows, 0.0)
 
+    def Srel_rows(self, n, m_sel: int):
+        """Srel(n[p], m) for m = 1..m_sel as a dense (P, m_sel) block
+        (the V_rows analog for the CT/CTW weight kernels).
+
+        The raw srel table holds -inf above the diagonal, which would
+        NaN-poison a one-hot contraction (0 * -inf), so the slice is
+        sanitised to 0 there first and the -inf / diagonal / m==1
+        identities are re-applied in row space -- including the EXACT
+        diagonal Srel(n, n) = -S1(n) that the point query enforces.
+        """
+        if self.srel is None or self.scan_chunks:
+            raise ValueError("Srel_rows needs srel in natural or folded "
+                             "layout")
+        n = jnp.asarray(n)
+        dt = self.srel.dtype
+        oh = jax.nn.one_hot(n - 1, self.n_max, dtype=dt)       # (P, N)
+        if self.fold:
+            L = self.m_max // self.fold
+            clean = jnp.where(jnp.isfinite(self.srel), self.srel, 0.0)
+            rows = jax.lax.dot_general(
+                oh, clean, (((1,), (0,)), ((), ())),
+                preferred_element_type=dt)
+            rows = rows.reshape(rows.shape[0], self.fold * L)[:, :m_sel]
+        else:
+            sl = self.srel[:, :m_sel]
+            clean = jnp.where(jnp.isfinite(sl), sl, 0.0)
+            rows = jax.lax.dot_general(
+                oh, clean, (((1,), (0,)), ((), ())),
+                preferred_element_type=dt)
+        i = jnp.clip(n - 1, 0, self.n_max - 1)
+        s1 = (self.s1_hi[i] + self.s1_lo[i]).astype(dt)
+        mvec = jnp.arange(1, m_sel + 1)
+        rows = jnp.where(mvec[None, :] == n[:, None], -s1[:, None], rows)
+        rows = jnp.where(mvec[None, :] == 1, jnp.zeros((), dt), rows)
+        # n < m mask LAST (as Srel() orders it): for n = 0 every column
+        # is out of domain, including m = 1
+        return jnp.where(mvec[None, :] > n[:, None], -jnp.inf, rows)
+
     def U(self, n, m):
         """U^n_{m,a} = S^{n+1}_m / S^n_m  (S_U, stable.c:875-883)."""
         n = jnp.asarray(n)
@@ -482,12 +520,6 @@ def make(init_n: int, init_m: int, max_n: int, max_m: int, a: float,
     from scipy.special import gammaln
 
     a = float(a)
-    s1 = s1_host(a, init_n)
-    if np.dtype(dtype) == np.float64:
-        s1_hi, s1_lo = jnp.asarray(s1), jnp.zeros_like(jnp.asarray(s1))
-    else:
-        hi, lo = _split_hi_lo(s1)
-        s1_hi, s1_lo = jnp.asarray(hi), jnp.asarray(lo)
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
                       and np.dtype(dtype) == np.float32 and init_n >= 4096)
@@ -524,6 +556,14 @@ def make(init_n: int, init_m: int, max_n: int, max_m: int, a: float,
     else:
         vtab, srel, _ = fill_rows(a, init_n, init_m, dtype=dtype,
                                   with_srel=build_s)
+    # host-side f64 S1 AFTER dispatching the device fill: jax dispatch is
+    # async, so the scipy gammaln sweep and the table fill overlap
+    s1 = s1_host(a, init_n)
+    if np.dtype(dtype) == np.float64:
+        s1_hi, s1_lo = jnp.asarray(s1), jnp.zeros_like(jnp.asarray(s1))
+    else:
+        hi, lo = _split_hi_lo(s1)
+        s1_hi, s1_lo = jnp.asarray(hi), jnp.asarray(lo)
     return StirlingTable(
         a=jnp.asarray(a, dtype), lga1=jnp.asarray(float(gammaln(1.0 - a)), dtype),
         s1_hi=s1_hi, s1_lo=s1_lo,

@@ -37,7 +37,7 @@ _warned_cat_mode = False
 __all__ = ["crp_generate", "base_distribution", "init_state", "init_hsa",
            "ti_sweep", "ti_schedule", "ti_sweep_blocked", "ti_pair_layout",
            "ti_sweep_pairs", "ti_sweep_pairs_state", "ti_pair_stages",
-           "ti_sweep_pairs_staged", "ti_pair_m_sel", "ct_sweep",
+           "ti_sweep_pairs_staged", "ti_pair_m_sel", "ct_sweep", "ctw_m_sel",
            "ctw_sweep", "ctw_sweep_rel", "hsa_sweep", "PYPData"]
 
 Table = Union[agrid.AGridTable, stirling.StirlingTable]
@@ -634,6 +634,18 @@ def hsa_sweep(key, hist, T, a, b, data: PYPData):
 
     hist: (C, J, D, S+1) int32; T: (C, J); a, b: (C,).
     Returns (hist, T).  Table counts derive as t = hist.sum(-1).
+
+    SCOPE: this is the SMALL-SCALE ORACLE among the five check.c
+    samplers, deliberately item-sequential like the reference
+    (check.c:766-842).  A round-based pair-major variant (the TI
+    treatment) would stream the full (chains, pairs, sizes) histogram
+    every Gibbs round -- ~31 GB of HBM traffic per sweep at check.c
+    scale (measured sizes: 2.8e5 staged lane-slots x 439 sizes x 32
+    chains x 8 B), capping it near the 5e7 item-updates/s the staged TI
+    exceeds 8-fold without carrying a size axis.  The scale kernels are
+    TI (ti_sweep_pairs) and CTW (ctw_sweep_rel); HSA exists to
+    cross-validate them, which small workloads do (test_models.py).
+    tools/extra_bench.py records its measured oracle throughput.
     """
     dt = a.dtype
     cats = jnp.asarray(data.data_cat)
@@ -803,9 +815,27 @@ def ctw_sweep(key, t, T, a, b, tab: Table, data: PYPData, tmax: int,
     return ct_sweep(key, t, T, a, b, tab, data, tmax, window=window)
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
+def ctw_m_sel(tab: Table, data: PYPData, window: int = 10,
+              cap: int = 4096) -> int:
+    """Static m_sel for ctw_sweep_rel's gather-free Srel path, or 0 when
+    it does not apply (same gating as ti_pair_m_sel, plus the window
+    must fit: candidate t can reach 2*window+1 when counts are small)."""
+    import numpy as _np
+    maxc = int(_np.asarray(data.n).max()) if data.n.size else 0
+    m_sel = maxc + 1
+    if (not isinstance(tab, stirling.StirlingTable) or tab.srel is None
+            or tab.scan_chunks or maxc == 0):
+        return 0
+    if m_sel > min(tab.m_max, cap) or maxc > tab.n_max:
+        return 0
+    if m_sel < 2 * window + 1:
+        m_sel = min(2 * window + 1, tab.m_max)
+    return m_sel
+
+
+@functools.partial(jax.jit, static_argnames=("window", "m_sel"))
 def ctw_sweep_rel(key, t, T, a, b, tab: Table, data: PYPData,
-                  window: int = 10):
+                  window: int = 10, m_sel: int = 0):
     """Windowed collapsed sweep with RELATIVE candidates (check.c:905-943).
 
     ct_sweep builds the full 1..tmax candidate range and masks a window
@@ -817,6 +847,14 @@ def ctw_sweep_rel(key, t, T, a, b, tab: Table, data: PYPData,
     The window clamps into [1, n_i] by shifting (the reference clamps the
     ends the same way, check.c:915-918); weights follow _ct_conditional's
     derivation with the reference's relative-to-current-t form.
+
+    ``m_sel`` > 0 (static, = max(count)+1, via ``ctw_m_sel``): the
+    per-category Srel window gather -- TPU gathers are scalar-bound at
+    ~100 M elem/s and dominated this sweep -- is replaced by dense
+    per-(group, category) Srel rows (StirlingTable.Srel_rows, one MXU
+    one-hot matmul per sweep) plus a fused compare-select-reduce.
+    Fixed-a natural/folded tables only; per-chain-a AGridTables keep
+    the gather.
     """
     dt = a.dtype
     n = jnp.asarray(data.n)
@@ -827,6 +865,9 @@ def ctw_sweep_rel(key, t, T, a, b, tab: Table, data: PYPData,
     b_f = jnp.broadcast_to(b[:, None], (C, J)).reshape(-1)
     offs = jnp.arange(-window, window + 1)        # (K,)
     K = offs.shape[0]
+    if m_sel:
+        # (D, J, m_sel) dense Srel rows for every (group, category) count
+        srows = tab.Srel_rows(n.T.reshape(-1), m_sel).reshape(D, J, m_sel)
 
     def cat(carry, i):
         t, T, key = carry
@@ -853,7 +894,19 @@ def ctw_sweep_rel(key, t, T, a, b, tab: Table, data: PYPData,
         # a == 0 chains: sum log(b) = m log b
         cum0 = mm * (hlog + jnp.log(jnp.maximum(b_f, 1e-30)))[:, None]
         cum = jnp.where(a_f[:, None] > 0, cum, cum0)
-        srel = _srelq(tab, ni[:, None], tts, a_f[:, None])
+        if m_sel:
+            rows_i = srows[i]                            # (J, m_sel)
+            mr = jnp.arange(1, m_sel + 1, dtype=tts.dtype)
+            sel = tts.reshape(C, J, K)[..., None] == mr  # (C, J, K, m_sel)
+            # selection (not multiplication), so the -inf above-diagonal
+            # row entries pass through exactly as Srel() returns them;
+            # tts beyond m_sel select nothing (0), and are > ni so the
+            # ok-mask below -infs them anyway
+            srel = jnp.sum(jnp.where(sel, rows_i[None, :, None, :],
+                                     jnp.zeros((), dt)), axis=-1)
+            srel = srel.reshape(C * J, K)
+        else:
+            srel = _srelq(tab, ni[:, None], tts, a_f[:, None])
         lw = cum + srel
         ok = (tts >= 1) & (tts <= ni[:, None])
         lw = jnp.where(ok, lw, -jnp.inf)

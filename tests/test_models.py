@@ -404,3 +404,37 @@ def test_ti_pairs_vrows_selection_matches_gather():
     ms = np.arange(1, m_sel + 1)
     want = np.asarray(tab.V(nv[:, None], jnp.asarray(ms)[None, :]))
     np.testing.assert_allclose(rows, want, rtol=1e-6, atol=0)
+
+
+def test_ctw_srows_selection_matches_gather():
+    """ctw_sweep_rel's gather-free Srel path (Srel_rows + compare-reduce,
+    pyp.ctw_m_sel) must reproduce the point-gather path exactly up to
+    the one-hot-matmul rounding of the dense rows (same keys, same
+    kernel)."""
+    from libstb_tpu.core import stirling
+    data = pyp.crp_generate(seed=12, n_groups=6, dim=10, n_per_group=80,
+                            a=0.5, b=2.0)
+    n_max = int(data.n.max()) + 2
+    tab = stirling.make(n_max, n_max, n_max + 32, n_max + 32, 0.5)
+    C = 16
+    a = jnp.full((C,), 0.5, jnp.float32)
+    b = jnp.full((C,), 2.0, jnp.float32)
+    m_sel = pyp.ctw_m_sel(tab, data)
+    assert m_sel >= int(data.n.max()) + 1
+    t0, T0 = pyp.init_state(data, C)
+    key = jax.random.key(3)
+    t_g, T_g = pyp.ctw_sweep_rel(key, t0, T0, a, b, tab, data, window=5)
+    t_s, T_s = pyp.ctw_sweep_rel(key, t0, T0, a, b, tab, data, window=5,
+                                 m_sel=m_sel)
+    # Gumbel-argmax draws are identical unless two weights are within
+    # the rows' matmul rounding; identical results expected here
+    np.testing.assert_array_equal(np.asarray(t_g), np.asarray(t_s))
+    np.testing.assert_array_equal(np.asarray(T_g), np.asarray(T_s))
+    # Srel_rows against the query oracle
+    nv = jnp.asarray(data.n.T.reshape(-1))
+    rows = np.asarray(tab.Srel_rows(nv, m_sel))
+    ms = np.arange(1, m_sel + 1)
+    want = np.asarray(tab.Srel(nv[:, None], jnp.asarray(ms)[None, :]))
+    fin = np.isfinite(want)
+    np.testing.assert_array_equal(np.isfinite(rows), fin)
+    np.testing.assert_allclose(rows[fin], want[fin], rtol=1e-6, atol=1e-5)
