@@ -113,8 +113,28 @@ def _kernel(am_ref, am1_ref, v_ref, srel_ref, carry_ref, rcarry_ref,
         recip_sh = jnp.where(col == 0, 0.0, recip_sh)
         numer = 1.0 + (nm1 - am) * v_prev
         denom = recip_sh + (nm1 - am1)
-        v_new = numer / denom
-        r_new = denom / numer                # = 1 / v_new
+        # divide -> approx reciprocal + 2 Newton steps (error ~2^-26,
+        # below f32 divide rounding per step): the hardware divide costs
+        # ~2x the recip chain on v5e (tools/vpu_probe.py) and the two
+        # divides were the largest ALU item in the row body.  Both
+        # operands are clamped to 1e30 before their recip chains so the
+        # +inf sentinels (col-0 numer; above-diagonal denom via the
+        # shifted 1/V = inf) cannot produce inf*0 NaNs inside the Newton
+        # iterations; the unclamped values still feed the products, so
+        # col-0 v stays exactly +inf and above-diagonal r stays +inf,
+        # while the ~1e-30 residues that replace exact zeros perturb
+        # neighbouring denominators by a negligible ~1e-27 (the same
+        # finite-sentinel algebra the cols kernel uses, _VBIG).
+        numer_c = jnp.minimum(numer, 1e30)
+        denom_c = jnp.minimum(denom, 1e30)
+        rden = pl.reciprocal(denom_c, approx=True)
+        rden = rden * (2.0 - denom_c * rden)
+        rden = rden * (2.0 - denom_c * rden)
+        rnum = pl.reciprocal(numer_c, approx=True)
+        rnum = rnum * (2.0 - numer_c * rnum)
+        rnum = rnum * (2.0 - numer_c * rnum)
+        v_new = numer * rden
+        r_new = denom * rnum                 # = 1 / v_new
         # row 0 of the whole table is the base row itself
         v_new = jnp.where(is_base, v_prev, v_new)
         r_new = jnp.where(is_base, r_prev, r_new)
@@ -344,13 +364,22 @@ def _kernel_folded(a_ref, v_ref, srel_ref, carry_ref, rcarry_ref,
         y2 = pltpu.roll(y, 1, 0)
         return jnp.where(lane0, y2, y)
 
+    def _recip2(x):
+        # approx reciprocal + 2 Newton steps on the 1e30-clamped operand
+        # (divide costs ~2x this chain on v5e; the clamp keeps the +inf
+        # sentinel algebra NaN-free -- see _kernel's block comment)
+        xc = jnp.minimum(x, 1e30)
+        r = pl.reciprocal(xc, approx=True)
+        r = r * (2.0 - xc * r)
+        return r * (2.0 - xc * r)
+
     def row_lean(r, st):
         v_prev, r_prev, sacc, comp, lg, cm, cma, cmu, nma, s1, c1 = st
         rsh = shift_m(r_prev)
         numer = 1.0 + cm * v_prev
         denom = rsh + cma
-        v_new = numer / denom
-        r_new = denom / numer
+        v_new = numer * _recip2(denom)
+        r_new = denom * _recip2(numer)
         v_ref[r, :, :] = v_new
         if with_srel:
             # consume last row's pipelined log-ratio
@@ -372,8 +401,8 @@ def _kernel_folded(a_ref, v_ref, srel_ref, carry_ref, rcarry_ref,
         rsh = jnp.where(col0, 0.0, rsh)
         numer = 1.0 + cm * v_prev
         denom = rsh + cma
-        v_new = numer / denom
-        r_new = denom / numer
+        v_new = numer * _recip2(denom)
+        r_new = denom * _recip2(numer)
         v_new = jnp.where(is_base, v_prev, v_new)
         r_new = jnp.where(is_base, r_prev, r_new)
         v_ref[r, :, :] = v_new

@@ -27,9 +27,12 @@ def test_v_matches_f64(filled):
     for gi, a in enumerate(avec):
         v64, _, _ = stirling.fill_rows(float(a), N, M, dtype=jnp.float64)
         v64 = np.asarray(v64)
-        fin = np.isfinite(v64)
-        np.testing.assert_allclose(vt[gi][fin], v64[fin], rtol=2e-5,
+        live = np.isfinite(v64) & (v64 > 0)
+        np.testing.assert_allclose(vt[gi][live], v64[live], rtol=2e-5,
                                    err_msg=f"a={a}")
+        # above-diagonal cells carry only the ~1e-30 recip-chain sentinel
+        # residue (masked to 0 by V() queries)
+        assert np.abs(vt[gi][np.isfinite(v64) & (v64 == 0)]).max() < 1e-25
 
 
 def test_srel_matches_f64(filled):
@@ -64,8 +67,8 @@ def test_nosrel_path():
     assert sr is None
     v64, _, _ = stirling.fill_rows(0.3, 64, 16, dtype=jnp.float64)
     v64 = np.asarray(v64)
-    fin = np.isfinite(v64)
-    np.testing.assert_allclose(np.asarray(vt)[0][fin], v64[fin], rtol=2e-5)
+    live = np.isfinite(v64) & (v64 > 0)
+    np.testing.assert_allclose(np.asarray(vt)[0][live], v64[live], rtol=2e-5)
 
 
 @pytest.fixture(scope="module")
@@ -79,8 +82,9 @@ def test_folded_v_matches_f64(filled_single):
     N, M, vt, _ = filled_single
     v64, _, _ = stirling.fill_rows(0.4321, N, M, dtype=jnp.float64)
     v64 = np.asarray(v64)
-    fin = np.isfinite(v64)
-    np.testing.assert_allclose(vt[fin], v64[fin], rtol=2e-5)
+    live = np.isfinite(v64) & (v64 > 0)
+    np.testing.assert_allclose(vt[live], v64[live], rtol=2e-5)
+    assert np.abs(vt[np.isfinite(v64) & (v64 == 0)]).max() < 1e-25
 
 
 def test_folded_srel_matches_f64(filled_single):
