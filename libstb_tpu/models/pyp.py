@@ -38,6 +38,7 @@ __all__ = ["crp_generate", "base_distribution", "init_state", "init_hsa",
            "ti_sweep", "ti_schedule", "ti_sweep_blocked", "ti_pair_layout",
            "ti_sweep_pairs", "ti_sweep_pairs_state", "ti_pair_stages",
            "ti_sweep_pairs_staged", "ti_pair_m_sel", "ct_sweep", "ctw_m_sel",
+           "init_hsa_pairs", "hsa_sweep_pairs", "hsa_sweep_pairs_staged",
            "ctw_sweep", "ctw_sweep_rel", "hsa_sweep", "PYPData"]
 
 Table = Union[agrid.AGridTable, stirling.StirlingTable]
@@ -635,17 +636,15 @@ def hsa_sweep(key, hist, T, a, b, data: PYPData):
     hist: (C, J, D, S+1) int32; T: (C, J); a, b: (C,).
     Returns (hist, T).  Table counts derive as t = hist.sum(-1).
 
-    SCOPE: this is the SMALL-SCALE ORACLE among the five check.c
-    samplers, deliberately item-sequential like the reference
-    (check.c:766-842).  A round-based pair-major variant (the TI
-    treatment) would stream the full (chains, pairs, sizes) histogram
-    every Gibbs round -- ~31 GB of HBM traffic per sweep at check.c
-    scale (measured sizes: 2.8e5 staged lane-slots x 439 sizes x 32
-    chains x 8 B), capping it near the 5e7 item-updates/s the staged TI
-    exceeds 8-fold without carrying a size axis.  The scale kernels are
-    TI (ti_sweep_pairs) and CTW (ctw_sweep_rel); HSA exists to
-    cross-validate them, which small workloads do (test_models.py).
-    tools/extra_bench.py records its measured oracle throughput.
+    SCOPE: this is the SMALL-SCALE ORACLE form, deliberately
+    item-sequential like the reference (check.c:766-842); the scale
+    route is ``hsa_sweep_pairs`` (staged pair-major rounds, measured
+    4.9e6 item-updates/s at check.c scale vs this form's 2.0e6 at
+    N=2400 -- tools/extra_bench.py).  The pair-major round streams the
+    dense (chains, pairs, sizes) histogram through ~18 full-array
+    passes (two size-axis cumsums and their shift-adds), so it is
+    HBM-bound well below TI/CTW, which avoid carrying a size axis
+    altogether -- those remain the scale kernels (4e8 / 2e9).
     """
     dt = a.dtype
     cats = jnp.asarray(data.data_cat)
@@ -698,6 +697,146 @@ def hsa_sweep(key, hist, T, a, b, data: PYPData):
 
     (hist, T, _), _ = jax.lax.scan(item, (hist, T, key), (cats, grps))
     return hist, T
+
+
+def init_hsa_pairs(data: PYPData, chains: int, order=None,
+                   s_max: Optional[int] = None):
+    """Pair-major histogram seating state: hp[c, p, s] = number of
+    tables of size s for occupied pair p (init: one table of size n_p,
+    matching init_hsa/init_state).  ``order`` (from ti_pair_stages)
+    pre-sorts the pair axis for the staged sweep."""
+    jvec, ivec, nvec = ti_pair_layout(data)
+    if order is not None:
+        jvec, ivec, nvec = jvec[order], ivec[order], nvec[order]
+    if s_max is None:
+        s_max = int(nvec.max()) if len(nvec) else 1
+    P = len(nvec)
+    h0 = np.zeros((P, s_max + 1), np.int32)
+    h0[np.arange(P), nvec] = 1
+    hp = jnp.broadcast_to(jnp.asarray(h0), (chains, P, s_max + 1))
+    T = jnp.broadcast_to(jnp.asarray(
+        (data.n > 0).sum(axis=1), jnp.int32), (chains, data.n.shape[0]))
+    return hp, T
+
+
+def _hsa_pairs_round(nvec, oneh, jvec, Hp, a_c, b_c, s_max: int):
+    """Per-round body of the staged pair-major HSA sweep: every active
+    pair unseats one customer and reseats it, entirely by dense size-axis
+    algebra (inverse-CDF categoricals over cumsums; one-hot updates by
+    iota compares -- no gathers, no scatters)."""
+    dt = a_c.dtype
+    svec = jnp.arange(s_max + 1, dtype=dt)              # (S+1,)
+    sint = jnp.arange(s_max + 1, dtype=jnp.int32)
+    a3 = a_c[:, :, None]                                # (C,1,1)
+
+    def round_(carry, s):
+        hp, T, key = carry
+        key, k1, k2 = jax.random.split(key, 3)
+        valid = (s < nvec) & (nvec >= 1)                 # (P,)
+        hf = hp.astype(dt)
+        # -- unseat: P(size s) = s h_s / n_p (inverse CDF; minval guards
+        # the measure-zero u == 0 draw from picking index 0)
+        c1 = jnp.cumsum(svec[None, None, :] * hf, axis=-1)
+        u1 = jax.random.uniform(k1, hp.shape[:2], dt, minval=1e-6)
+        s_rm = jnp.sum(c1 < (u1 * c1[..., -1])[..., None],
+                       axis=-1).astype(jnp.int32)
+        s_rm = jnp.clip(s_rm, 1, s_max)
+        rm = sint[None, None, :] == s_rm[..., None]
+        rm1 = (sint[None, None, :] == (s_rm - 1)[..., None]) \
+            & (s_rm > 1)[..., None]
+        h2 = hp - rm + rm1
+        single = s_rm == 1                               # table vanished
+        T_loc = T[:, jvec].astype(dt) - single.astype(dt)
+        # -- reseat: existing P(s) prop. (s - a) h_s, new prop.
+        # (b + T a) H_p (round-local T; cross-pair lag is the same
+        # round-start approximation the TI pair sweeps validate)
+        h2f = h2.astype(dt)
+        w2 = jnp.maximum(svec[None, None, :] - a3, 0.0) * h2f
+        c2 = jnp.cumsum(w2, axis=-1)
+        tot2 = c2[..., -1]
+        wnew = (b_c + T_loc * a_c) * Hp[None, :]
+        u2 = jax.random.uniform(k2, hp.shape[:2], dt,
+                                minval=1e-6) * (tot2 + wnew)
+        is_new = u2 >= tot2
+        s_jn = jnp.sum(c2 < u2[..., None], axis=-1).astype(jnp.int32)
+        s_jn = jnp.clip(s_jn, 1, s_max - 1)
+        ex = (~is_new)[..., None]
+        jn0 = (sint[None, None, :] == s_jn[..., None]) & ex
+        jn1 = (sint[None, None, :] == (s_jn + 1)[..., None]) & ex
+        new1 = (sint[None, None, :] == 1) & is_new[..., None]
+        h3 = h2 - jn0 + jn1 + new1
+        v3 = valid[None, :, None]
+        hp = jnp.where(v3, h3, hp)
+        dT = jnp.where(valid[None, :],
+                       (is_new.astype(dt) - single.astype(dt)), 0.0)
+        T = T + jax.lax.dot_general(
+            dT, oneh, (((1,), (0,)), ((), ())),
+            preferred_element_type=dt).astype(T.dtype)
+        return (hp, T, key), None
+
+    return round_
+
+
+@functools.partial(jax.jit, static_argnames=("stages", "s_max"))
+def hsa_sweep_pairs_staged(key, hp, T, a, b, data: PYPData, jvec, ivec,
+                           nvec, stages, s_max: int):
+    """Staged pair-major HSA sweep: the scale route for the histogram
+    seating-arrangement sampler (check.c:766-842 semantics).
+
+    Like ti_sweep_pairs_staged, a sweep is max(count) rounds in which
+    every pair with ``s < count_p`` processes one item (unseat one
+    customer, reseat it), over shrinking count-sorted prefixes
+    (``stages`` from ti_pair_stages(skip_first=False)).  All histogram
+    surgery is dense size-axis algebra -- inverse-CDF categoricals over
+    cumsums and iota-compare one-hots -- so the round is a pure VPU/MXU
+    stream (no gathers/scatters, the measured TPU anti-pattern).  Within
+    a round, same-group pairs read the round-start group total T for the
+    new-table weight (the lag approximation the TI pair sweeps validate
+    statistically at scale); T updates exactly between rounds.
+
+    hp: (C, P, s_max+1) int32 (init_hsa_pairs, pre-sorted by ``order``);
+    the histogram invariant sum_s s h_s = n_p is preserved exactly.
+    Returns (hp, T).
+    """
+    if stages:
+        assert stages[0][1] == 0, (
+            "hsa stages must be built with ti_pair_stages(skip_first="
+            "False) -- HSA resamples every item")
+    dt = a.dtype
+    J = data.n.shape[0]
+    P = hp.shape[1]
+    Hfull = jnp.asarray(data.H, dt)[ivec]
+    nvec = jnp.asarray(nvec)
+    a_c = a[:, None]
+    b_c = b[:, None]
+    for (p, r0, r1) in stages:
+        round_ = _hsa_pairs_round(nvec[:p],
+                                  jax.nn.one_hot(jvec[:p], J, dtype=dt),
+                                  jvec[:p], Hfull[:p], a_c, b_c, s_max)
+        (hps, T, key), _ = jax.lax.scan(
+            round_, (hp[:, :p], T, key),
+            jnp.arange(r0, r1, dtype=jnp.int32))
+        hp = hps if p == P else jnp.concatenate([hps, hp[:, p:]], axis=1)
+    return hp, T
+
+
+def hsa_sweep_pairs(key, hp, T, a, b, data: PYPData, layout=None,
+                    order=None, stages=None, min_pairs: int = 512):
+    """Wrapper building the count-sorted layout/stages for
+    hsa_sweep_pairs_staged (pass precomputed pieces to amortise).  The
+    pair axis of ``hp`` must already be in ``order`` (init_hsa_pairs
+    does this when given the same order)."""
+    if layout is None:
+        layout = ti_pair_layout(data)
+    jvec, ivec, nvec = layout
+    if order is None or stages is None:
+        order, stages = ti_pair_stages(nvec, skip_first=False,
+                                       min_pairs=min_pairs)
+    jvec, ivec, nvec = jvec[order], ivec[order], nvec[order]
+    s_max = hp.shape[-1] - 1
+    return hsa_sweep_pairs_staged(key, hp, T, a, b, data,
+                                  jnp.asarray(jvec), jnp.asarray(ivec),
+                                  jnp.asarray(nvec), stages, s_max)
 
 
 def _ct_conditional(tab, ni, ti, Tj, a, b, Hi, tmax: int, window,

@@ -438,3 +438,54 @@ def test_ctw_srows_selection_matches_gather():
     fin = np.isfinite(want)
     np.testing.assert_array_equal(np.isfinite(rows), fin)
     np.testing.assert_allclose(rows[fin], want[fin], rtol=1e-6, atol=1e-5)
+
+
+def test_hsa_pairs_invariants_and_agreement():
+    """The staged pair-major HSA sweep must (a) preserve the histogram
+    invariants exactly -- sum_s s h_s = n_p per pair, T = total table
+    count per group, h >= 0 -- and (b) agree with the item-sequential
+    hsa_sweep on posterior means within MC error (the check.c
+    multi-sampler-equivalence methodology)."""
+    data = pyp.crp_generate(seed=5, n_groups=5, dim=8, n_per_group=40,
+                            a=0.5, b=1.0)
+    C = 192
+    a = jnp.full((C,), 0.5, jnp.float32)
+    b = jnp.full((C,), 1.0, jnp.float32)
+    jvec, ivec, nvec = pyp.ti_pair_layout(data)
+    order, stages = pyp.ti_pair_stages(nvec, skip_first=False,
+                                       min_pairs=16)
+    hp, T = pyp.init_hsa_pairs(data, C, order=order)
+    nv_sorted = nvec[order]
+
+    Ts = []
+    for k in jax.random.split(jax.random.key(21), 70):
+        hp, T = pyp.hsa_sweep_pairs(k, hp, T, a, b, data,
+                                    layout=(jvec, ivec, nvec),
+                                    order=order, stages=stages)
+        Ts.append(np.asarray(T).sum(axis=1))
+    par = np.asarray(Ts[35:])
+    hp_np, T_np = np.asarray(hp), np.asarray(T)
+    assert (hp_np >= 0).all()
+    # customers per pair conserved exactly
+    sizes = np.arange(hp_np.shape[-1])
+    np.testing.assert_array_equal((hp_np * sizes).sum(-1),
+                                  np.broadcast_to(nv_sorted, hp_np.shape[:2]))
+    # T = table count per group
+    tables = hp_np.sum(-1)                      # (C, P)
+    J = data.n.shape[0]
+    Tchk = np.zeros((C, J), np.int64)
+    for p, j in enumerate(jvec[order]):
+        Tchk[:, j] += tables[:, p]
+    np.testing.assert_array_equal(T_np, Tchk)
+
+    # statistical agreement with the item-sequential oracle
+    hist, T2 = pyp.init_hsa(data, C)
+    Ts = []
+    for k in jax.random.split(jax.random.key(22), 70):
+        hist, T2 = pyp.hsa_sweep(k, hist, T2, a, b, data)
+        Ts.append(np.asarray(T2).sum(axis=1))
+    seq = np.asarray(Ts[35:])
+    ms, mp = seq.mean(), par.mean()
+    se = np.sqrt(seq.mean(0).std() ** 2 / seq.shape[1]
+                 + par.mean(0).std() ** 2 / par.shape[1])
+    assert abs(ms - mp) < 5 * se + 0.1, (ms, mp, se)

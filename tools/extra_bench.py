@@ -183,6 +183,54 @@ def bench_hsa(oh):
           f"scale kernels", flush=True)
 
 
+def bench_hsa_pairs(oh):
+    """Staged pair-major HSA at check.c scale (N = 10^5): the histogram
+    sampler's scale route (dense size-axis algebra, no gathers)."""
+    from libstb_tpu import native
+    from libstb_tpu.models import pyp
+
+    data = native.crp_generate(1, 100, 20, 1000, 0.5, 10.0)
+    L = data.data_cat.size
+    C = 32
+    a = jnp.full((C,), 0.5, jnp.float32)
+    b = jnp.full((C,), 10.0, jnp.float32)
+    jvec, ivec, nvec = pyp.ti_pair_layout(data)
+    order, stages = pyp.ti_pair_stages(nvec, skip_first=False)
+    hp0, T0 = pyp.init_hsa_pairs(data, C, order=order)
+    jv = jnp.asarray(jvec[order])
+    iv = jnp.asarray(ivec[order])
+    nv = jnp.asarray(nvec[order])
+    s_max = hp0.shape[-1] - 1
+    sweeps = 2
+
+    @jax.jit
+    def run(key, hp, T):
+        def body(carry, _):
+            hp, T, key = carry
+            key, k = jax.random.split(key)
+            hp, T = pyp.hsa_sweep_pairs_staged(k, hp, T, a, b, data,
+                                               jv, iv, nv, stages, s_max)
+            return (hp, T, key), None
+        (hp, T, _), _ = jax.lax.scan(body, (hp, T, key), None,
+                                     length=sweeps)
+        return hp, T
+
+    key = jax.random.key(0)
+    hp, T = run(key, hp0, T0)
+    _readback(T.astype(jnp.float32))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hp, T = run(key, hp0, T0)
+        _readback(T.astype(jnp.float32))
+        ts.append(time.perf_counter() - t0 - oh)
+    ts.sort()
+    ips = C * L * sweeps / ts[1]
+    print(f"HSA pair-major staged (N={L}, C={C}, s_max={s_max}): "
+          f"{ips:.3g} item-updates/s ({ts[1]/sweeps*1e3:.1f} ms/sweep)",
+          flush=True)
+
+
 def bench_ctw(oh):
     from libstb_tpu import native
     from libstb_tpu.core import stirling
@@ -228,7 +276,7 @@ def bench_ctw(oh):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--only", type=str,
-                   default="make,ensure,xfer,sparse,hsa,ctw")
+                   default="make,ensure,xfer,sparse,hsa,hsapairs,ctw")
     args = p.parse_args()
     which = set(args.only.split(","))
     oh = _rpc_overhead()
@@ -242,6 +290,8 @@ def main():
         bench_sparse(oh)
     if "hsa" in which:
         bench_hsa(oh)
+    if "hsapairs" in which:
+        bench_hsa_pairs(oh)
     if "ctw" in which:
         bench_ctw(oh)
 
