@@ -78,8 +78,7 @@ def main():
               f"({dt/m*1e6:.1f} us/col)", file=sys.stderr)
         return dt, gbps
 
-    import sys as _sys
-    which = _sys.argv[0] and os.environ.get("COLS_VARIANTS", "default")
+    which = os.environ.get("COLS_VARIANTS", "default")
     if which == "ablate":
         timed("V+Srel noalu", True, False, 8, debug_srel="noalu")
         timed("V+Srel nopassa", True, True, 8, debug_srel="nopassa")

@@ -128,23 +128,32 @@ def main():
         timed("noasympt", mk(False))
     if want("rbg"):
         timed("rbg", tab, key_impl="rbg")
+    # NOTE on the monkeypatched ablations: ti_sweep_pairs_staged is a
+    # module-level jitted function, so a patch applied after any earlier
+    # variant TRACED it is invisible (the cached executable is reused --
+    # this silently produced no-op ablations in the first round-5
+    # profile).  Clear its cache around each patched variant.
     if want("novq"):
         orig = pyp._vq
         pyp._vq = lambda tab_, n_, m_, a_: jnp.asarray(0.5, jnp.float32)
+        pyp.ti_sweep_pairs_staged.clear_cache()
         try:
             timed("novq", tab)
         finally:
             pyp._vq = orig
+            pyp.ti_sweep_pairs_staged.clear_cache()
     if want("norng"):
         orig_u = jax.random.uniform
 
         def fake_uniform(key, shape=(), dtype=jnp.float32, **kw):
             return jnp.full(shape, 0.5, dtype)
         jax.random.uniform = fake_uniform
+        pyp.ti_sweep_pairs_staged.clear_cache()
         try:
             timed("norng", tab)
         finally:
             jax.random.uniform = orig_u
+            pyp.ti_sweep_pairs_staged.clear_cache()
 
 
 if __name__ == "__main__":
