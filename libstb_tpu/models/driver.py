@@ -39,6 +39,14 @@ class GibbsConfig:
     b_groups: int = 1         # demo.c passes I=1 to sampleb (demo.c:454)
     ti_legacy: bool = False   # reproduce demo.c:427's t/(n-t+1) odds
     ti_skip_first: bool = True  # False = demo.c resamples first indicators
+    ti_blocked: bool = True   # TI as the EXACT group-major reordering
+                              # (ti_sweep_blocked mode="group": one item
+                              # of every group per scan step -- groups
+                              # are independent restaurants, so the
+                              # composed kernel is identical and the
+                              # scan shrinks from L items to the max
+                              # group size); False = the reference's
+                              # item-sequential order
     collect_traces: bool = False  # keep (a, b) per-iter traces + R-hat/ESS
     kernel: str = "slice"     # 1-D MCMC kernel for (a, b): "slice" | "ars"
                               # (the -A / PSAMPLE_ARS switch, check.c:283)
@@ -78,7 +86,9 @@ def run_gibbs(key, data: pyp.PYPData, grid: agrid.AGridTable,
     a = jnp.full((chains,), a0, dt)
     b = jnp.full((chains,), b0, dt)
     tmax = int(data.n.max()) + 1
-    return _run_gibbs_jit(key, data, grid, t, T, hist0, a, b,
+    sched = (jnp.asarray(pyp.ti_schedule(data, "group"))
+             if cfg.sampler.upper() == "TI" and cfg.ti_blocked else None)
+    return _run_gibbs_jit(key, data, grid, t, T, hist0, a, b, sched,
                           chains=chains, cfg=cfg, tmax=tmax,
                           burnin=cfg.resolved_burnin())
 
@@ -124,13 +134,15 @@ def run_gibbs_timed(key, data: pyp.PYPData, grid: agrid.AGridTable,
     a = jnp.full((chains,), a0, dt)
     b = jnp.full((chains,), b0, dt)
     tmax = int(data.n.max()) + 1
+    sched = (jnp.asarray(pyp.ti_schedule(data, "group"))
+             if cfg.sampler.upper() == "TI" and cfg.ti_blocked else None)
     ccfg = dataclasses.replace(cfg, iters=chunk, burnin=0,
                                collect_traces=False)
 
     def one_chunk(key, t, T, hist, a, b, iters=None):
         c = ccfg if iters is None or iters == chunk else (
             dataclasses.replace(ccfg, iters=iters))
-        out = _run_gibbs_jit(key, data, grid, t, T, hist, a, b,
+        out = _run_gibbs_jit(key, data, grid, t, T, hist, a, b, sched,
                              chains=chains, cfg=c, tmax=tmax, burnin=0)
         st = out["hist"] if hsa else out["t"]
         return out, st, out["T"], out["a"], out["b"]
@@ -198,7 +210,7 @@ def run_gibbs_timed(key, data: pyp.PYPData, grid: agrid.AGridTable,
 
 @functools.partial(jax.jit, static_argnames=("chains", "cfg", "tmax",
                                              "burnin"))
-def _run_gibbs_jit(key, data, grid, t, T, hist0, a, b, *,
+def _run_gibbs_jit(key, data, grid, t, T, hist0, a, b, sched=None, *,
                    chains: int, cfg: GibbsConfig, tmax: int, burnin: int):
     dt = grid.srel.dtype
     hsa = cfg.sampler.upper() == "HSA"
@@ -208,6 +220,12 @@ def _run_gibbs_jit(key, data, grid, t, T, hist0, a, b, *,
 
     def sweep(key, t, T, a, b):
         if sampler == "TI":
+            if sched is not None:
+                # exact group-major reordering (see GibbsConfig.ti_blocked)
+                return pyp.ti_sweep_blocked(key, t, T, a, b, grid, data,
+                                            sched=sched, mode="group",
+                                            skip_first=cfg.ti_skip_first,
+                                            legacy_odds=cfg.ti_legacy)
             return pyp.ti_sweep(key, t, T, a, b, grid, data,
                                 skip_first=cfg.ti_skip_first,
                                 legacy_odds=cfg.ti_legacy)
