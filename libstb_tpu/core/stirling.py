@@ -53,6 +53,7 @@ import numpy as np
 __all__ = [
     "StirlingTable",
     "make",
+    "s1_anchored",
     "remake",
     "ensure",
     "fill_rows",
@@ -87,6 +88,59 @@ def _split_hi_lo(x64: np.ndarray):
     hi = x64.astype(np.float32)
     lo = (x64 - hi.astype(np.float64)).astype(np.float32)
     return hi, lo
+
+
+_S1_CHUNK = 32
+
+
+@functools.partial(jax.jit, static_argnames=("n_max",))
+def _s1_device_fill(anchor_hi, anchor_lo, a, n_max: int):
+    """Anchored device-side S1 hi/lo pair (see s1_anchored)."""
+    B = _S1_CHUNK
+    nc = n_max // B
+    dt = jnp.float32
+    # terms t_i = log(i - a) for i >= 1 (the increment S1[i] - S1[i-1]);
+    # within chunk c the prefix P_i = sum_{k=cB+1..i} t_k restarts at 0
+    idx = jnp.arange(n_max, dtype=dt).reshape(nc, B)
+    term = jnp.where(idx >= 1.0, jnp.log(jnp.abs(idx - a) + (idx < 1.0)),
+                     0.0)
+    # exclusive-of-anchor inclusive prefix: chunk position 0 is the
+    # anchor row itself (P = 0); positions 1..B-1 accumulate terms
+    term = term.at[:, 0].set(0.0)
+    pref = jnp.cumsum(term, axis=1)
+    s1_hi = jnp.broadcast_to(anchor_hi[:, None], (nc, B)).reshape(-1)
+    s1_lo = (anchor_lo[:, None] + pref).reshape(-1)
+    return s1_hi, s1_lo.astype(dt)
+
+
+def s1_anchored(a: float, n_max: int):
+    """S1 hi/lo computed ON DEVICE from f64 host anchors.
+
+    The host path ships 8 MB of hi/lo floats per 2^20-row table; through
+    the axon tunnel that transfer runs at ~44 MB/s and dominates the
+    production make() wall clock (SCALING.md).  Instead the host sends
+    one f64 anchor pair per ``_S1_CHUNK`` rows (256 KB at 2^20) and the
+    device fills within-chunk log prefix sums:
+
+        S1[i] = A_c + sum_{k=cB+1..i} log(k - a),   c = i // B,
+
+    stored as (hi, lo) = (f32(A_c), f32(A_c - hi) + P_i).  Error budget:
+    the in-chunk f32 log terms carry <~1.5e-6 absolute each (<=32 of
+    them) and the cumsum/storage rounding is eps * |P| <= ~5e-5 per add
+    over <=32 adds, so |S1_device - S1_host| <= ~5e-4 absolute at any n -- below the f32
+    srel table's own error and far below the ~1.0 absolute a plain f32
+    lgamma evaluation would cost at S1 ~ 1e7 (tested in
+    tests/test_stirling.py).  Requires n_max % _S1_CHUNK == 0.
+    """
+    from scipy.special import gammaln
+
+    B = _S1_CHUNK
+    assert n_max % B == 0
+    rows = np.arange(0, n_max, B, dtype=np.float64) + 1.0   # n at anchors
+    anchors = gammaln(rows - a) - gammaln(1.0 - a)          # S1 at i = cB
+    hi, lo = _split_hi_lo(anchors)
+    return _s1_device_fill(jnp.asarray(hi), jnp.asarray(lo),
+                           jnp.float32(a), n_max)
 
 
 # ---------------------------------------------------------------------------
@@ -556,14 +610,21 @@ def make(init_n: int, init_m: int, max_n: int, max_m: int, a: float,
     else:
         vtab, srel, _ = fill_rows(a, init_n, init_m, dtype=dtype,
                                   with_srel=build_s)
-    # host-side f64 S1 AFTER dispatching the device fill: jax dispatch is
-    # async, so the scipy gammaln sweep and the table fill overlap
-    s1 = s1_host(a, init_n)
-    if np.dtype(dtype) == np.float64:
-        s1_hi, s1_lo = jnp.asarray(s1), jnp.zeros_like(jnp.asarray(s1))
+    # S1 AFTER dispatching the device fill (jax dispatch is async, so
+    # host work overlaps the fill).  On TPU at large n the anchored
+    # device route replaces the full host hi/lo pair: the 8 MB/2^20-row
+    # transfer runs at ~44 MB/s through the tunnel and dominated the
+    # production make() wall clock (tools/extra_bench.py).
+    if (use_pallas and np.dtype(dtype) == np.float32
+            and init_n % _S1_CHUNK == 0 and init_n >= (1 << 16)):
+        s1_hi, s1_lo = s1_anchored(a, init_n)
     else:
-        hi, lo = _split_hi_lo(s1)
-        s1_hi, s1_lo = jnp.asarray(hi), jnp.asarray(lo)
+        s1 = s1_host(a, init_n)
+        if np.dtype(dtype) == np.float64:
+            s1_hi, s1_lo = jnp.asarray(s1), jnp.zeros_like(jnp.asarray(s1))
+        else:
+            hi, lo = _split_hi_lo(s1)
+            s1_hi, s1_lo = jnp.asarray(hi), jnp.asarray(lo)
     return StirlingTable(
         a=jnp.asarray(a, dtype), lga1=jnp.asarray(float(gammaln(1.0 - a)), dtype),
         s1_hi=s1_hi, s1_lo=s1_lo,

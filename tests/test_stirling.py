@@ -252,3 +252,19 @@ def test_fold_layout_table_queries():
         np.testing.assert_array_equal(np.isfinite(b), fin, err_msg=q)
         np.testing.assert_allclose(b[fin], a[fin], rtol=2e-4, atol=2e-4,
                                    err_msg=q)
+
+
+def test_s1_anchored_matches_host():
+    """The anchored device-side S1 (stirling.s1_anchored: f64 anchors +
+    in-chunk f32 log prefix sums, the tunnel-transfer-free production
+    route) must track the host f64 hi/lo pair within its documented
+    5e-4 absolute budget at every row, for several discounts and at a
+    2^17-row length where S1 reaches ~1.4e6."""
+    n = 1 << 17
+    for a in (0.0, 0.05, 0.5, 0.9):
+        hi, lo = stirling.s1_anchored(a, n)
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        want = stirling.s1_host(a, n)
+        err = np.max(np.abs(got - want))
+        assert err < 5e-4, (a, err)
+        assert got[0] == 0.0
