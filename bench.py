@@ -106,7 +106,7 @@ def fill_throughput(oh: float, g: int = 64, n: int = 1 << 14,
 
 
 def single_table_throughput(oh: float, n: int = 1 << 20, m: int = 1024,
-                            k: int = 3):
+                            k: int = 2):
     """North-star: ONE table filled to n=2^20 via the column-scan kernel
     (BASELINE.md: fill log S(n,m;a) to n=10^6 at >80% roofline).
 
@@ -114,7 +114,10 @@ def single_table_throughput(oh: float, n: int = 1 << 20, m: int = 1024,
     lax.scan: scanning over the cols kernel sends its compile past 9
     minutes (judge-verified in round 3), while the unrolled chain
     compiles in ~3 s and keeps the data dependency that defeats the
-    tunnel's async dispatch."""
+    tunnel's async dispatch.  k=2 and running BEFORE the grid fill keep
+    the chain's ~12 GB peak clear of HBM allocator pressure: with k=3
+    after the 8.6 GB grid phase the same kernel intermittently read 63%
+    instead of its isolated 104% (tools/cols_bench.py)."""
     from libstb_tpu.ops import stirling_pallas as sp
 
     interp = not sp.available()
@@ -244,17 +247,24 @@ def main():
     try:
         oh = _rpc_overhead()
         bw = copy_roofline(oh)
+    except Exception as e:                      # keep the contract line
+        print(f"roofline bench failed: {e!r}", file=sys.stderr)
+        print(json.dumps({"metric": "stirling_grid_fill", "value": 0.0,
+                          "unit": "GB/s", "vs_baseline": 0.0}))
+        return
+    try:
+        # before the grid fill: its big transient chain wants a clean heap
+        one_bps, one_cps = single_table_throughput(oh)
+    except Exception as e:
+        print(f"single-table bench failed: {e!r}", file=sys.stderr)
+        one_bps = one_cps = float("nan")
+    try:
         fill_bps, fill_cps = fill_throughput(oh)
     except Exception as e:                      # keep the contract line
         print(f"fill bench failed: {e!r}", file=sys.stderr)
         print(json.dumps({"metric": "stirling_grid_fill", "value": 0.0,
                           "unit": "GB/s", "vs_baseline": 0.0}))
         return
-    try:
-        one_bps, one_cps = single_table_throughput(oh)
-    except Exception as e:
-        print(f"single-table bench failed: {e!r}", file=sys.stderr)
-        one_bps = one_cps = float("nan")
     try:
         sps = sampler_throughput(oh)
     except Exception as e:                      # keep the contract line
