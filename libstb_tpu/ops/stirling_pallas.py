@@ -734,32 +734,6 @@ def _kernel_cols(a_ref, v_ref, srel_ref, carry_b, acc_a, acc_b, sacc_ref,
 
     @pl.when(j > 0)
     def _():
-        if debug_srel in ("b0", "b1"):
-            # bisect modes: barest j>0 body -- block loop with the same
-            # load/store streams only (b1 adds the (S,128) carry tuple
-            # and the peeled first block)
-            def bare(rb, st):
-                ds = pl.ds(rb * u, u)
-                blk = carry_b[ds]
-                out = blk * 1.0001
-                v_ref[0, ds] = out
-                srel_ref[0, ds] = out
-                carry_b[ds] = out
-                if debug_srel == "b1":
-                    v, cB, aac, bac = st
-                    return (v * 0.999 + out[0], cB + 1.0, aac * 0.999,
-                            bac + out[u - 1])
-                return st
-            if debug_srel == "b1":
-                st0 = (jnp.zeros((S, L), dt), jnp.zeros((S, L), dt) + 1.0,
-                       jnp.zeros((S, L), dt) + 1.0, jnp.zeros((S, L), dt))
-                st = bare(0, st0)
-                st = jax.lax.fori_loop(1, nblk, bare, st)
-                acc_a[:] = st[2]
-                acc_b[:] = st[3]
-            else:
-                jax.lax.fori_loop(0, nblk, bare, 0)
-            return
         jf = j.astype(dt)
         # ---- pass A: compose-scan over chunk maps (linear chunk order);
         # the per-chunk maps were fused into the previous column's replay
