@@ -448,16 +448,22 @@ class StirlingTable:
         n = jnp.asarray(n)
         dt = self.vtab.dtype
         oh = jax.nn.one_hot(n - 1, self.n_max, dtype=dt)       # (P, N)
+        # precision=HIGHEST: the TPU MXU's default precision truncates
+        # f32 inputs, which would make this extraction diverge from the
+        # point-gather path it must match exactly (one-hot rows are
+        # exact either way; the TABLE values are not)
+        hp = jax.lax.Precision.HIGHEST
         if self.fold:
             L = self.m_max // self.fold
+            nsub = (m_sel - 1) // L + 1        # sublanes covering m_sel
             rows = jax.lax.dot_general(
-                oh, self.vtab, (((1,), (0,)), ((), ())),
-                preferred_element_type=dt)                     # (P, 8, L)
-            rows = rows.reshape(rows.shape[0], self.fold * L)[:, :m_sel]
+                oh, self.vtab[:, :nsub], (((1,), (0,)), ((), ())),
+                preferred_element_type=dt, precision=hp)       # (P, s, L)
+            rows = rows.reshape(rows.shape[0], nsub * L)[:, :m_sel]
         else:
             rows = jax.lax.dot_general(
                 oh, self.vtab[:, :m_sel], (((1,), (0,)), ((), ())),
-                preferred_element_type=dt)                     # (P, m_sel)
+                preferred_element_type=dt, precision=hp)       # (P, m_sel)
         mvec = jnp.arange(1, m_sel + 1)
         ok = (mvec[None, :] >= 2) & (mvec[None, :] <= n[:, None])
         return jnp.where(ok, rows, 0.0)
@@ -478,19 +484,22 @@ class StirlingTable:
         n = jnp.asarray(n)
         dt = self.srel.dtype
         oh = jax.nn.one_hot(n - 1, self.n_max, dtype=dt)       # (P, N)
+        hp = jax.lax.Precision.HIGHEST        # see V_rows
         if self.fold:
             L = self.m_max // self.fold
-            clean = jnp.where(jnp.isfinite(self.srel), self.srel, 0.0)
+            nsub = (m_sel - 1) // L + 1
+            sl = self.srel[:, :nsub]
+            clean = jnp.where(jnp.isfinite(sl), sl, 0.0)
             rows = jax.lax.dot_general(
                 oh, clean, (((1,), (0,)), ((), ())),
-                preferred_element_type=dt)
-            rows = rows.reshape(rows.shape[0], self.fold * L)[:, :m_sel]
+                preferred_element_type=dt, precision=hp)
+            rows = rows.reshape(rows.shape[0], nsub * L)[:, :m_sel]
         else:
             sl = self.srel[:, :m_sel]
             clean = jnp.where(jnp.isfinite(sl), sl, 0.0)
             rows = jax.lax.dot_general(
                 oh, clean, (((1,), (0,)), ((), ())),
-                preferred_element_type=dt)
+                preferred_element_type=dt, precision=hp)
         i = jnp.clip(n - 1, 0, self.n_max - 1)
         s1 = (self.s1_hi[i] + self.s1_lo[i]).astype(dt)
         mvec = jnp.arange(1, m_sel + 1)

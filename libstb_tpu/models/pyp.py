@@ -470,8 +470,8 @@ def ti_sweep_pairs_staged(key, tp, T, a, b, tab: Table, data: PYPData,
     than the per-round point gather at check.c scale (see _pairs_round).
     The ``ti_sweep_pairs`` wrapper sets it automatically when legal.
     """
-    if stages:
-        assert stages[0][1] == (1 if skip_first else 0), (
+    if stages and stages[0][1] != (1 if skip_first else 0):
+        raise ValueError(
             f"stages built with skip_first={stages[0][1] == 1}, sweep "
             f"called with skip_first={skip_first}: rebuild stages via "
             f"ti_pair_stages(nvec, skip_first={skip_first})")
@@ -552,8 +552,7 @@ def ti_pair_m_sel(tab: Table, nvec, cap: int = 4096) -> int:
     pair per round -- past a few thousand columns the point gather wins
     back).
     """
-    import numpy as _np
-    nvec = _np.asarray(nvec)
+    nvec = np.asarray(nvec)
     if (not isinstance(tab, stirling.StirlingTable) or tab.vtab is None
             or tab.scan_chunks or len(nvec) == 0):
         return 0
@@ -798,8 +797,8 @@ def hsa_sweep_pairs_staged(key, hp, T, a, b, data: PYPData, jvec, ivec,
     the histogram invariant sum_s s h_s = n_p is preserved exactly.
     Returns (hp, T).
     """
-    if stages:
-        assert stages[0][1] == 0, (
+    if stages and stages[0][1] != 0:
+        raise ValueError(
             "hsa stages must be built with ti_pair_stages(skip_first="
             "False) -- HSA resamples every item")
     dt = a.dtype
@@ -957,18 +956,18 @@ def ctw_sweep(key, t, T, a, b, tab: Table, data: PYPData, tmax: int,
 def ctw_m_sel(tab: Table, data: PYPData, window: int = 10,
               cap: int = 4096) -> int:
     """Static m_sel for ctw_sweep_rel's gather-free Srel path, or 0 when
-    it does not apply (same gating as ti_pair_m_sel, plus the window
-    must fit: candidate t can reach 2*window+1 when counts are small)."""
-    import numpy as _np
-    maxc = int(_np.asarray(data.n).max()) if data.n.size else 0
+    it does not apply (same gating as ti_pair_m_sel).  m_sel = maxc+1
+    suffices for any window: candidates past n_i are -inf-masked by the
+    sweep regardless of row coverage (``window`` kept for signature
+    stability; it does not affect the result)."""
+    del window
+    maxc = int(np.asarray(data.n).max()) if data.n.size else 0
     m_sel = maxc + 1
     if (not isinstance(tab, stirling.StirlingTable) or tab.srel is None
             or tab.scan_chunks or maxc == 0):
         return 0
     if m_sel > min(tab.m_max, cap) or maxc > tab.n_max:
         return 0
-    if m_sel < 2 * window + 1:
-        m_sel = min(2 * window + 1, tab.m_max)
     return m_sel
 
 

@@ -40,6 +40,19 @@ def available() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _recip2(x):
+    """Approximate reciprocal + 2 Newton steps on the 1e30-clamped
+    operand: error ~2^-26 (below f32 divide rounding per step) at ~half
+    the cost of the VPU's guarded divide sequence (tools/vpu_probe.py).
+    The clamp keeps the kernels' +inf sentinel algebra NaN-free (inf*0
+    inside a Newton step) while recip(1e30) ~ 1e-30 preserves the
+    effectively-zero reciprocal the sentinels rely on."""
+    xc = jnp.minimum(x, 1e30)
+    r = pl.reciprocal(xc, approx=True)
+    r = r * (2.0 - xc * r)
+    return r * (2.0 - xc * r)
+
+
 def _cumsum_lanes(x, m_max: int):
     """Cumulative sum along the lane (last) axis via log-shift adds.
 
@@ -113,28 +126,16 @@ def _kernel(am_ref, am1_ref, v_ref, srel_ref, carry_ref, rcarry_ref,
         recip_sh = jnp.where(col == 0, 0.0, recip_sh)
         numer = 1.0 + (nm1 - am) * v_prev
         denom = recip_sh + (nm1 - am1)
-        # divide -> approx reciprocal + 2 Newton steps (error ~2^-26,
-        # below f32 divide rounding per step): the hardware divide costs
-        # ~2x the recip chain on v5e (tools/vpu_probe.py) and the two
-        # divides were the largest ALU item in the row body.  Both
-        # operands are clamped to 1e30 before their recip chains so the
-        # +inf sentinels (col-0 numer; above-diagonal denom via the
-        # shifted 1/V = inf) cannot produce inf*0 NaNs inside the Newton
-        # iterations; the unclamped values still feed the products, so
-        # col-0 v stays exactly +inf and above-diagonal r stays +inf,
-        # while the ~1e-30 residues that replace exact zeros perturb
-        # neighbouring denominators by a negligible ~1e-27 (the same
-        # finite-sentinel algebra the cols kernel uses, _VBIG).
-        numer_c = jnp.minimum(numer, 1e30)
-        denom_c = jnp.minimum(denom, 1e30)
-        rden = pl.reciprocal(denom_c, approx=True)
-        rden = rden * (2.0 - denom_c * rden)
-        rden = rden * (2.0 - denom_c * rden)
-        rnum = pl.reciprocal(numer_c, approx=True)
-        rnum = rnum * (2.0 - numer_c * rnum)
-        rnum = rnum * (2.0 - numer_c * rnum)
-        v_new = numer * rden
-        r_new = denom * rnum                 # = 1 / v_new
+        # the two divides were the largest ALU item in the row body;
+        # _recip2's clamp handles the +inf sentinels (col-0 numer;
+        # above-diagonal denom via the shifted 1/V = inf) while the
+        # unclamped values still feed the products, so col-0 v stays
+        # exactly +inf and above-diagonal r stays +inf; the ~1e-30
+        # residues replacing exact zeros perturb neighbouring
+        # denominators by a negligible ~1e-27 (the cols kernel's _VBIG
+        # finite-sentinel algebra)
+        v_new = numer * _recip2(denom)
+        r_new = denom * _recip2(numer)       # = 1 / v_new
         # row 0 of the whole table is the base row itself
         v_new = jnp.where(is_base, v_prev, v_new)
         r_new = jnp.where(is_base, r_prev, r_new)
@@ -363,15 +364,6 @@ def _kernel_folded(a_ref, v_ref, srel_ref, carry_ref, rcarry_ref,
         y = pltpu.roll(x, 1, 1)
         y2 = pltpu.roll(y, 1, 0)
         return jnp.where(lane0, y2, y)
-
-    def _recip2(x):
-        # approx reciprocal + 2 Newton steps on the 1e30-clamped operand
-        # (divide costs ~2x this chain on v5e; the clamp keeps the +inf
-        # sentinel algebra NaN-free -- see _kernel's block comment)
-        xc = jnp.minimum(x, 1e30)
-        r = pl.reciprocal(xc, approx=True)
-        r = r * (2.0 - xc * r)
-        return r * (2.0 - xc * r)
 
     def row_lean(r, st):
         v_prev, r_prev, sacc, comp, lg, cm, cma, cmu, nma, s1, c1 = st
@@ -788,14 +780,9 @@ def _kernel_cols(a_ref, v_ref, srel_ref, carry_b, acc_a, acc_b, sacc_ref,
                 # one fma per row
                 v_new = (cB * bq) * v + bq
                 num = cB * v + 1.0               # off-chain, feeds bn
-                # bn = v / num via approximate reciprocal + 2 Newton
-                # steps (err ~1e-7 rel on hw, below the f32 recurrence
-                # noise; the builtin divide measures 4x slower than
-                # recip+Newton on v5e -- tools/vpu_probe.py)
-                r = pl.reciprocal(num, approx=True)
-                r = r * (2.0 - num * r)
-                r = r * (2.0 - num * r)
-                bn = v * r
+                # bn = v / num via the shared clamped recip+Newton
+                # chain (err ~1e-7 rel, below the f32 recurrence noise)
+                bn = v * _recip2(num)
                 if first and q == 0:
                     bn = jnp.where(c0mask, 0.0, bn)
                 an = (cB - a0) * bn              # next col slope coeff
